@@ -1,0 +1,847 @@
+"""The module framework: video sources, module manager/reader, ModuleBase.
+
+Behavioral parity with the reference core (reference core/base.py:36-942),
+re-implemented for the TPU-era frame bus:
+
+* ``VideoSource`` — parses CLI specs ``"name[alias1,alias2]:u8:f32:f64"``
+  into a block name, plane aliases, and dtype overrides for 1/4/8-byte
+  elements (reference base.py:36-120).
+* ``@sources("zed[forward]", ...)`` — tags a method with ordered plane
+  aliases for multi-source dispatch (reference base.py:123-149).
+* ``ModuleManager`` — owns read accessors per video source, write accessors
+  per tuner (blocks named ``module_<name>_tune%<idx>%<Type>_<tname>``), and
+  lazily-created post accessors (``module_<name>_post%<idx>%<pname>``)
+  (reference base.py:161-322). Tuner defaults are pushed on first entry.
+* ``ModuleReader`` — GUI-side consumer globbing ``module_*`` blocks, polling
+  posts and tuners at 60 fps, pushing tuner edits back
+  (reference base.py:325-510).
+* ``VideoSourceMetadata`` — rolling-30 latency, width-normalized centered
+  coordinates returned (y, x), 3-strike dead-source counter
+  (reference base.py:517-574).
+* ``ModuleBase`` — the user-facing abstract module: argparse CLI, named
+  ``<Class>-on-<src1>-<src2>``, auto-retry on FRAMEWORK_DELETED, per-tick
+  read -> multi-plane fan-out -> handler dispatch -> post-queue drain
+  (reference base.py:577-942).
+
+TPU-era differences:
+
+* frames handed to module code are *writable staging views* (the frame bus
+  binding lands bytes in a reusable buffer), so there is no per-frame
+  defensive copy (the reference copied twice, base.py:761-768);
+* an optional ``device_fn`` fast path: a module may register a jitted JAX
+  callable over its frame bundle, and ModuleBase will run it via the engine
+  with staging reuse (see engine/executor.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import glob
+import signal
+import threading
+import time
+from abc import ABC
+from collections import OrderedDict, deque
+from dataclasses import dataclass, field
+from typing import (
+    Any,
+    Callable,
+    Deque,
+    Dict,
+    List,
+    Optional,
+    Sequence,
+    Tuple,
+    Union,
+)
+
+import numpy as np
+
+from .bindings.frame_bus import (
+    BLOCK_STUB,
+    BlockAccessor,
+    ReadStatus,
+)
+from .log import Logger, log as auvlog
+from .tuners import BoolTuner, DoubleTuner, IntTuner, TunerBase
+
+VALID_COLOR_SPACES = ("BGR", "RGB", "HSV", "LAB", "HLS", "YCRCB", "LUV", "GRAY")
+
+
+# ---------------------------------------------------------------------------
+# Video source specs
+# ---------------------------------------------------------------------------
+
+_BYTE_TYPES = {"u8": np.uint8, "i8": np.int8}
+_SHORT_TYPES = {"u32": np.uint32, "i32": np.int32, "f32": np.float32}
+_LONG_TYPES = {"u64": np.uint64, "i64": np.int64, "f64": np.float64}
+
+
+@dataclass
+class VideoSource:
+    """How to decode frames from one frame-bus block."""
+
+    name: str
+    byte_type: type = np.uint8
+    short_type: type = np.float32
+    long_type: type = np.float64
+    plane_aliases: Tuple[str, ...] = ()
+
+    @staticmethod
+    def _split_aliases(spec: str) -> Tuple[str, Tuple[str, ...]]:
+        if "[" not in spec:
+            return spec, tuple()
+        name, rest = spec.split("[", maxsplit=1)
+        inner = rest.rsplit("]", maxsplit=1)[0]
+        aliases = tuple(a.strip() for a in inner.split(",") if a.strip())
+        return name, aliases
+
+    @classmethod
+    def create(cls, source: Union[str, "VideoSource"]) -> "VideoSource":
+        """Parse ``"name[aliases]:u8:f32:f64"`` (types optional, any order)."""
+        if isinstance(source, VideoSource):
+            return source
+
+        if ":" in source:
+            name_part, type_part = source.split(":", maxsplit=1)
+        else:
+            name_part, type_part = source, ""
+
+        name, aliases = cls._split_aliases(name_part)
+        name = name.strip()
+
+        byte_type: type = np.uint8
+        short_type: type = np.float32
+        long_type: type = np.float64
+        for token in type_part.split(":"):
+            token = token.strip()
+            if token in _BYTE_TYPES:
+                byte_type = _BYTE_TYPES[token]
+            elif token in _SHORT_TYPES:
+                short_type = _SHORT_TYPES[token]
+            elif token in _LONG_TYPES:
+                long_type = _LONG_TYPES[token]
+
+        return cls(name, byte_type, short_type, long_type, aliases)
+
+    def into_accessor(self) -> BlockAccessor:
+        """Build a read-mode accessor for this source."""
+        return BlockAccessor(
+            self.name,
+            byte_type=self.byte_type,
+            short_type=self.short_type,
+            long_type=self.long_type,
+        )
+
+
+def sources(*source_specs: str):
+    """Decorator binding a method to ordered plane aliases.
+
+    ``@sources("zed[forward]", "zed[normal]")`` registers the method to fire
+    with the cached ``forward`` and ``normal`` frames once all are present
+    and at least one was updated this tick.
+    """
+
+    def _alias_of(spec: str) -> str:
+        s = spec.strip()
+        if "[" in s and "]" in s:
+            return s.split("[", 1)[1].rsplit("]", 1)[0].strip()
+        return s
+
+    def _decorator(fn: Callable):
+        fn._sources_aliases = tuple(_alias_of(s) for s in source_specs)
+        return fn
+
+    return _decorator
+
+
+@dataclass
+class VideoMessage:
+    source: VideoSource
+    status: ReadStatus
+    data: Optional[Union[np.ndarray, Tuple[np.ndarray, ...]]]
+    acquisition_time: int
+    plane_names: Tuple[str, ...] = tuple()
+
+
+# ---------------------------------------------------------------------------
+# ModuleManager
+# ---------------------------------------------------------------------------
+
+
+class ModuleManager:
+    """Per-module I/O hub: video reads, tuner blocks, post blocks.
+
+    Module blocks are namespaced with a ``module_`` prefix so they are
+    distinguishable from capture blocks in /dev/shm
+    (reference base.py:182-187).
+    """
+
+    def __init__(
+        self,
+        module_name: str,
+        video_sources: List[VideoSource],
+        tuner_sources: List[TunerBase],
+    ):
+        self._module_name = "module_" + module_name
+        self._post_name = self._module_name + "_post"
+        self._tune_name = self._module_name + "_tune"
+        self._first = True
+
+        self._video_sources: Dict[str, VideoSource] = {
+            vs.name: vs for vs in video_sources
+        }
+        if len(self._video_sources) != len(video_sources):
+            raise RuntimeError("cannot have multiple video sources of the same name")
+
+        self._tuner_sources: Dict[str, TunerBase] = {
+            ts.name: ts for ts in tuner_sources
+        }
+        if len(self._tuner_sources) != len(tuner_sources):
+            raise RuntimeError("cannot have multiple tuner types of the same name")
+
+        self._video_accessor: Dict[str, BlockAccessor] = {
+            vs.name: vs.into_accessor() for vs in video_sources
+        }
+        # The index in the block name tells the web GUI how to order tuners
+        # (reference base.py:204-210).
+        self._tuner_accessor: Dict[str, BlockAccessor] = {
+            ts.name: BlockAccessor(
+                f"{self._tune_name}%{idx}%{ts}",
+                max_entry_size_bytes=ts.byte_size(),
+            )
+            for idx, ts in enumerate(tuner_sources)
+        }
+        self._post_accessor: Dict[str, BlockAccessor] = {}
+        self._exit_stack = contextlib.ExitStack()
+        self._inside_ctx = False
+
+    def _require_ctx(self) -> None:
+        if not self._inside_ctx:
+            raise RuntimeError(
+                "attempted to access ModuleManager while not in a context manager"
+            )
+
+    def post(
+        self, name: str, idx: int, acquisition_time: int, data: np.ndarray
+    ) -> None:
+        self._require_ctx()
+        accessor = self._post_accessor.get(name)
+        if accessor is None:
+            accessor = BlockAccessor(f"{self._post_name}%{idx}%{name}", data.nbytes)
+            self._exit_stack.enter_context(accessor)
+            self._post_accessor[name] = accessor
+        accessor.write_frame(acquisition_time, data)
+
+    def read_messages(self) -> List[VideoMessage]:
+        self._require_ctx()
+
+        # Tuner updates first, so this tick's processing sees fresh values.
+        for name, accessor in self._tuner_accessor.items():
+            status, data, _ = accessor.read_frame()
+            if status == ReadStatus.FRAMEWORK_DELETED:
+                raise RuntimeError("Unexpected deleted Tuner")
+            if status == ReadStatus.SUCCESS and data is not None:
+                self._tuner_sources[name].deserialize(data.tobytes("C"))
+
+        messages: List[VideoMessage] = []
+        for name, accessor in self._video_accessor.items():
+            status, data, acquisition_time = accessor.read_frame()
+            if status == ReadStatus.FRAMEWORK_DELETED:
+                raise RuntimeError(f"{accessor.direction} was marked for deletion")
+            if data is not None:
+                messages.append(
+                    VideoMessage(
+                        source=self._video_sources[name],
+                        status=status,
+                        data=data,
+                        acquisition_time=acquisition_time,
+                        plane_names=accessor.last_plane_names(),
+                    )
+                )
+        return messages
+
+    def __getitem__(self, key: str) -> Any:
+        return self._tuner_sources[key].value
+
+    def __str__(self) -> str:
+        return (
+            f"ModuleManager(name={self._module_name}, "
+            f"video_sources={self._video_sources}, "
+            f"tuner_sources={self._tuner_sources})"
+        )
+
+    def __enter__(self) -> "ModuleManager":
+        if self._inside_ctx:
+            raise RuntimeError("double dipped in context manager for ModuleManager")
+        self._inside_ctx = True
+        self._exit_stack.__enter__()
+        try:
+            for accessor in self._video_accessor.values():
+                self._exit_stack.enter_context(accessor)
+            for accessor in self._tuner_accessor.values():
+                self._exit_stack.enter_context(accessor)
+            if self._first:
+                self._first = False
+                for tuner in self._tuner_sources.values():
+                    data = np.frombuffer(tuner.serialize(), dtype=np.uint8)
+                    self._tuner_accessor[tuner.name].write_frame(
+                        int(time.monotonic() * 1000), data
+                    )
+        except BaseException:
+            self._exit_stack.__exit__(None, None, None)
+            self._inside_ctx = False
+            raise
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        self._exit_stack.__exit__(exc_type, exc_val, exc_tb)
+        self._post_accessor.clear()
+        self._inside_ctx = False
+
+
+# ---------------------------------------------------------------------------
+# ModuleReader (GUI bridge)
+# ---------------------------------------------------------------------------
+
+
+class ModuleReader:
+    """Discovers a module's post/tune blocks, polls them, and pushes tuner
+    edits back (the WebGUI side of the bus)."""
+
+    def __init__(self, module_name: str):
+        if module_name not in ModuleReader.get_active_modules():
+            raise RuntimeError("Module name is not active")
+
+        self._base_module_name = module_name
+        self._module_name = f"module_{module_name}"
+        self._post_name = f"{self._module_name}_post%"
+        self._tune_name = f"{self._module_name}_tune%"
+        self._quit_flag = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        self._post_udls: List[Callable[[str, str, int, np.ndarray, str], None]] = []
+        self._tuner_udls: List[Callable[[str, str, int, TunerBase], None]] = []
+
+        # name -> (idx, accessor, color_space)
+        self._all_posts: Dict[str, Tuple[int, BlockAccessor, str]] = {}
+        # name -> (idx, accessor, tuner)
+        self._all_tuners: Dict[str, Tuple[int, BlockAccessor, TunerBase]] = {}
+        self._tuner_guard = False
+        self._framework_deleted = False
+
+        for post_block in self.active_posts:
+            idx, name, color_space = self.parse_post_name(post_block)
+            self._all_posts[name] = (idx, BlockAccessor(post_block), color_space)
+        for tune_block in self.active_tuners:
+            idx, tuner, name = self.parse_tune_name(tune_block)
+            self._all_tuners[name] = (idx, BlockAccessor(tune_block), tuner)
+
+    @classmethod
+    def get_active_modules(cls) -> List[str]:
+        names = set()
+        for path in glob.glob(f"{BLOCK_STUB}module_*"):
+            # /dev/shm/auv_visiond_module_<Name-on-src>_post%... -> <Name-on-src>
+            rest = path[len(BLOCK_STUB) + len("module_") :]
+            for marker in ("_post%", "_tune%"):
+                if marker in rest:
+                    names.add(rest.split(marker)[0])
+                    break
+        return list(names)
+
+    @property
+    def active_posts(self) -> List[str]:
+        return [
+            p[len(BLOCK_STUB) :] for p in glob.glob(BLOCK_STUB + self._post_name + "*")
+        ]
+
+    @property
+    def active_tuners(self) -> List[str]:
+        return [
+            p[len(BLOCK_STUB) :] for p in glob.glob(BLOCK_STUB + self._tune_name + "*")
+        ]
+
+    @property
+    def framework_deleted(self) -> bool:
+        return self._framework_deleted
+
+    def parse_post_name(self, s: str) -> Tuple[int, str, str]:
+        """``module_X_post%idx%name#COLORSPACE`` -> (idx, name, colorspace)."""
+        _, idx, name_with_colorspace = s.split("%")
+        if "#" in name_with_colorspace:
+            name, color_space = name_with_colorspace.split("#", 1)
+        else:
+            name, color_space = name_with_colorspace, "BGR"
+        return int(idx), name, color_space
+
+    def parse_tune_name(self, s: str) -> Tuple[int, TunerBase, str]:
+        """``module_X_tune%idx%Type_name`` -> (idx, tuner, name)."""
+        _, idx, tuner_str = s.split("%")
+        tuner_type, tuner_name = tuner_str.split("_", maxsplit=1)
+        tuner: TunerBase
+        if tuner_type == "IntTuner":
+            tuner = IntTuner(tuner_name, 0)
+        elif tuner_type == "DoubleTuner":
+            tuner = DoubleTuner(tuner_name, 0)
+        else:
+            tuner = BoolTuner(tuner_name, False)
+        return int(idx), tuner, tuner_name
+
+    def register_post_udl(
+        self, udl: Callable[[str, str, int, np.ndarray, str], None]
+    ) -> None:
+        self._post_udls.append(udl)
+
+    def register_tuner_udl(
+        self, udl: Callable[[str, str, int, TunerBase], None]
+    ) -> None:
+        self._tuner_udls.append(udl)
+
+    def run_forever(self, fps: int = 60) -> None:
+        if self._thread is not None:
+            raise RuntimeError("cannot run already running module reader")
+        self._quit_flag = threading.Event()
+        self._thread = threading.Thread(target=self._loop, args=(fps,))
+        self._thread.start()
+
+    def allow_resend_tuners_once(self) -> None:
+        self._tuner_guard = True
+
+    def update_tuner_value(self, name: str, value: Any) -> None:
+        _, accessor, tuner = self._all_tuners[name]
+        tuner._current_value = value
+        data = np.frombuffer(tuner.serialize(), dtype=np.uint8)
+        accessor.write_frame(int(time.monotonic() * 1000), data)
+
+    def _loop(self, fps: int) -> None:
+        with contextlib.ExitStack() as exit_stack:
+            for _, accessor, _ in self._all_posts.values():
+                exit_stack.enter_context(accessor)
+            for _, accessor, _ in self._all_tuners.values():
+                exit_stack.enter_context(accessor)
+
+            wait_time = 1.0 / fps
+            while not self._quit_flag.is_set():
+                tick_start = time.monotonic()
+
+                for name, (idx, accessor, color_space) in self._all_posts.items():
+                    status, data, _ = accessor.read_frame()
+                    if status == ReadStatus.SUCCESS and data is not None:
+                        for udl in self._post_udls:
+                            udl(self._base_module_name, name, idx, data, color_space)
+                    elif status == ReadStatus.FRAMEWORK_DELETED:
+                        print(
+                            f"ModuleReader: {self._base_module_name} framework deleted"
+                        )
+                        self._framework_deleted = True
+                        self._quit_flag.set()
+
+                resent = False
+                for name, (idx, accessor, tuner) in self._all_tuners.items():
+                    status, data, _ = accessor.read_frame()
+                    if (
+                        self._tuner_guard or status == ReadStatus.SUCCESS
+                    ) and data is not None:
+                        resent = resent or self._tuner_guard
+                        tuner.deserialize(data.tobytes("C"))
+                        for udl in self._tuner_udls:
+                            udl(self._base_module_name, name, idx, tuner)
+                    elif status == ReadStatus.FRAMEWORK_DELETED:
+                        print(
+                            f"ModuleReader: {self._base_module_name} framework deleted"
+                        )
+                        self._framework_deleted = True
+                        self._quit_flag.set()
+                if resent:
+                    self._tuner_guard = False
+
+                elapsed = time.monotonic() - tick_start
+                time.sleep(max(0.0, wait_time - elapsed))
+
+    def unblock(self) -> None:
+        if self._thread is None:
+            print(f"[WARNING]: {self._module_name} was already terminated")
+            return
+        self._quit_flag.set()
+        self._thread.join()
+        self._thread = None
+
+    def __del__(self) -> None:
+        if self._thread is not None:
+            print(
+                "[WARNING]: object garbage collected without freeing "
+                "underlying resources"
+            )
+            self._quit_flag.set()
+            self._thread.join()
+
+
+# ---------------------------------------------------------------------------
+# Per-source metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VideoSourceMetadata:
+    """Rolling latency / shape / liveness stats per direction."""
+
+    _frames_read: int = 0
+    _shape: Tuple[int, int] = (1, 1)
+    _acquisition_times: Deque[int] = field(default_factory=lambda: deque(maxlen=30))
+    _dead_counter: int = 0
+
+    def update(
+        self,
+        mat: Union[np.ndarray, Tuple[np.ndarray, ...]],
+        acquisition_time: int,
+    ) -> None:
+        now = int(time.monotonic() * 1000)
+        self._acquisition_times.append(now - acquisition_time)
+
+        primary = mat[0] if isinstance(mat, tuple) else mat
+        if primary is None:
+            return
+        self._shape = (primary.shape[0], primary.shape[1])
+        self._frames_read += 1
+        self._dead_counter = max(0, self._dead_counter - 1)
+
+    def mark_as_dead(self) -> bool:
+        """3-strike dead-source detector; returns True when freshly dead
+        (reference base.py:542-546)."""
+        alive = self._dead_counter == 0
+        self._dead_counter = 3
+        return alive
+
+    def get_latency(self) -> int:
+        if not self._acquisition_times:
+            return 0
+        return int(sum(self._acquisition_times) / len(self._acquisition_times))
+
+    def normalize_axis(self, coord: float, axis: int) -> float:
+        """Pixel -> centered coordinate divided by *width* for both axes
+        (reference base.py:553-563)."""
+        return (coord - self._shape[1 - axis] / 2) / self._shape[1]
+
+    def normalize_coord(self, coord: Tuple[float, float]) -> Tuple[float, float]:
+        """(y, x) pixels -> (y, x) normalized."""
+        return self.normalize_axis(coord[0], 1), self.normalize_axis(coord[1], 0)
+
+
+# ---------------------------------------------------------------------------
+# ModuleBase
+# ---------------------------------------------------------------------------
+
+
+class ModuleBase(ABC):
+    """The user-facing vision module.
+
+    Subclass, decorate handlers with ``@sources(...)`` (or override
+    ``process``), construct with default sources/tuners, and call the
+    instance to run. CLI args override the defaults.
+    """
+
+    def __init__(
+        self,
+        video_sources: List[Union[VideoSource, str]] = [],
+        tuners: List[TunerBase] = [],
+        fps: int = 10,
+        argv: Optional[List[str]] = None,
+        **kwargs,
+    ):
+        parser = argparse.ArgumentParser(
+            f"{__file__}",
+            description="CLI to run this particular vision module",
+            formatter_class=argparse.RawTextHelpFormatter,
+        )
+        parser.add_argument(
+            "-f",
+            "--fps",
+            type=int,
+            default=fps,
+            help="maximum fps to run (capped at the speed of the video sources)",
+        )
+        parser.add_argument(
+            "--verbose", action="store_true", help="display debug messages"
+        )
+        parser.add_argument(
+            "--enable-performance",
+            action="store_true",
+            help="disable posting to help with performance during competition runs",
+        )
+        parser.add_argument(
+            "sources",
+            nargs="*",
+            type=str,
+            help=(
+                "Video sources as {name}[aliases]:<types>; empty uses the "
+                "module's defaults.\n"
+                "types: u8/i8 (1-byte), u32/i32/f32 (4-byte), u64/i64/f64 "
+                "(8-byte)\n"
+                "example: 'forward:f64' decodes 8-byte planes as f64"
+            ),
+        )
+        args = parser.parse_args(argv)
+
+        if "_" in self.__class__.__name__:
+            raise RuntimeError(
+                f"Class name '{self.__class__.__name__}' cannot have an underscore"
+            )
+
+        src_specs = args.sources if len(args.sources) > 0 else video_sources
+        src = [VideoSource.create(s) for s in src_specs]
+
+        self._name = (
+            self.__class__.__name__ + "-on-" + "-".join(s.name for s in src)
+        )
+        self._fps: int = args.fps if args.fps else fps
+        self._verbose: bool = args.verbose
+        self._module_manager = ModuleManager(self._name, src, tuners)
+        self._post_queue: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._post_color_spaces: Dict[str, str] = {}
+        self._performance_enabled: bool = args.enable_performance
+        self._retry = True
+
+        self._video_metadata: Dict[str, VideoSourceMetadata] = {}
+        for source in src:
+            self._video_metadata[source.name] = VideoSourceMetadata()
+            for alias in source.plane_aliases:
+                self._video_metadata.setdefault(alias, VideoSourceMetadata())
+        self._current_direction = ""
+
+    # -- public API ---------------------------------------------------------
+
+    @property
+    def tuners(self) -> ModuleManager:
+        return self._module_manager
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def post(
+        self, name: str, image: np.ndarray, color_space: str = "BGR"
+    ) -> None:
+        """Queue a u8 debug image for the WebGUI (copied; disabled in
+        performance mode, reference base.py:846-876)."""
+        if self._performance_enabled:
+            return
+        if "%" in name:
+            raise RuntimeError("Cannot have % in name")
+
+        image = np.array(image, np.uint8, copy=True, order="C", ndmin=1)
+        color_space = color_space.upper()
+        if color_space not in VALID_COLOR_SPACES:
+            color_space = "BGR"
+        self._post_queue[name] = image
+        self._post_color_spaces[name] = color_space
+
+    def get_latency(self) -> int:
+        """Rolling average camera->module latency (ms) for the current
+        direction."""
+        return self._video_metadata[self._current_direction].get_latency()
+
+    def normalize(self, coordinate: Tuple[float, float]) -> Tuple[float, float]:
+        """(y, x) pixels -> (y, x) normalized for the current direction."""
+        return self._video_metadata[self._current_direction].normalize_coord(
+            coordinate
+        )
+
+    def normalize_axis(self, coordinate: float, axis: int) -> float:
+        return self._video_metadata[self._current_direction].normalize_axis(
+            coordinate, axis
+        )
+
+    def process(self, direction: str, image: np.ndarray):
+        """Default no-op per-alias processing; override or use @sources."""
+        return None
+
+    def process_bundle(
+        self,
+        direction: str,
+        frames: Tuple[np.ndarray, ...],
+        aliases: Tuple[str, ...],
+        acquisition_time: int,
+    ) -> None:
+        """Manual fan-out helper (reference base.py:916-934)."""
+        if aliases and len(aliases) != len(frames):
+            raise RuntimeError(
+                f"direction '{direction}' provided {len(frames)} planes but "
+                f"{len(aliases)} aliases"
+            )
+        if not aliases:
+            aliases = tuple(f"{direction}[{i}]" for i in range(len(frames)))
+        for alias, frame in zip(aliases, frames):
+            self._touch_metadata(alias, frame, acquisition_time)
+            self._current_direction = alias
+            self.process(alias, frame)
+
+    # -- run loop -----------------------------------------------------------
+
+    def __call__(self) -> None:
+        logger = getattr(auvlog, self._name)
+        logger(f"Running {self._name}", True)
+        if self._performance_enabled:
+            logger("Module running in performance mode", True)
+
+        original_sigint_handler = signal.getsignal(signal.SIGINT)
+        quit_flag = threading.Event()
+
+        def sigh(*args):
+            logger(
+                f"Caught signal: {args[0]}. It may take up to 2 seconds to "
+                "clean up.",
+                self._verbose,
+            )
+            quit_flag.set()
+
+        logger(f"Target FPS = {self._fps}", self._verbose)
+
+        while self._retry:
+            self._retry = False
+            quit_flag.clear()
+            with self._module_manager:
+                try:
+                    signal.signal(signal.SIGINT, sigh)
+                    logger("Registered SIGINT handler", self._verbose)
+                except ValueError:
+                    pass  # not on the main thread
+                logger(f"Initialized module manager {self._module_manager}",
+                       self._verbose)
+                main_thread = threading.Thread(
+                    target=self._loop, args=(quit_flag, logger)
+                )
+                main_thread.start()
+                main_thread.join()
+
+            if self._retry:
+                try:
+                    signal.signal(signal.SIGINT, original_sigint_handler)
+                    logger("Unregistered SIGINT handler", self._verbose)
+                except ValueError:
+                    pass
+
+        logger(f"Cleaning {self.__class__.__name__}", True)
+
+    def _discover_handlers(
+        self, logger: Logger
+    ) -> List[Tuple[Callable[..., None], Tuple[str, ...]]]:
+        handlers: List[Tuple[Callable[..., None], Tuple[str, ...]]] = []
+        for attr_name in dir(self):
+            try:
+                maybe = getattr(self, attr_name)
+            except Exception:
+                continue
+            aliases = getattr(maybe, "_sources_aliases", None)
+            if aliases is None and hasattr(maybe, "__func__"):
+                aliases = getattr(maybe.__func__, "_sources_aliases", None)
+            if aliases:
+                handlers.append((maybe, tuple(aliases)))
+                logger(
+                    f"Registered multi-source handler {attr_name} with "
+                    f"aliases: {aliases}",
+                    True,
+                )
+        return handlers
+
+    def _loop(self, quit_flag: threading.Event, logger: Logger) -> None:
+        # alias -> (frame, acquisition_time)
+        frame_cache: Dict[str, Tuple[np.ndarray, int]] = {}
+        ms_handlers = self._discover_handlers(logger)
+        covered_aliases = {a for _, aliases in ms_handlers for a in aliases}
+        logged_missing: set = set()
+
+        while not quit_flag.is_set():
+            tick_start = time.monotonic()
+
+            try:
+                video_messages = self._module_manager.read_messages()
+            except RuntimeError as e:
+                logger(f"Error: {e}", True)
+                quit_flag.set()
+                self._retry = True
+                break
+
+            updated_aliases: set = set()
+            for message in video_messages:
+                source = message.source
+                if message.status == ReadStatus.SUCCESS and message.data is not None:
+                    image = message.data
+                    acq_time = message.acquisition_time
+                    # NOTE: frames are writable views into the accessor's
+                    # staging buffer — valid until the next read on that
+                    # accessor; no defensive copy needed.
+                    self._touch_metadata(source.name, image, acq_time)
+                    self._current_direction = source.name
+
+                    if isinstance(image, tuple):
+                        aliases = self._plane_aliases_for(message)
+                        for alias, frame in zip(aliases, image):
+                            frame_cache[alias] = (frame, acq_time)
+                            updated_aliases.add(alias)
+                            self._touch_metadata(alias, frame, acq_time)
+                            if alias not in covered_aliases:
+                                self._current_direction = alias
+                                self.process(alias, frame)
+                    else:
+                        frame_cache[source.name] = (image, acq_time)
+                        updated_aliases.add(source.name)
+                        if source.name not in covered_aliases:
+                            self.process(source.name, image)
+                elif message.status == ReadStatus.NO_NEW_FRAME:
+                    if self._video_metadata[source.name].mark_as_dead():
+                        logger(
+                            f"{source.name} appears to be slow or dead!",
+                            self._verbose,
+                        )
+
+            for handler, aliases in ms_handlers:
+                missing = [a for a in aliases if a not in frame_cache]
+                if missing and handler not in logged_missing:
+                    logged_missing.add(handler)
+                    logger(
+                        f"Handler {handler.__name__} waiting for aliases: "
+                        f"{missing}. Available: {list(frame_cache.keys())}",
+                        True,
+                    )
+                if not missing and any(a in updated_aliases for a in aliases):
+                    imgs = [frame_cache[a][0] for a in aliases]
+                    handler(*imgs)
+
+            self._drain_post_queue()
+            time.sleep(max((1 / self._fps) - (time.monotonic() - tick_start), 0))
+
+    def _plane_aliases_for(self, message: VideoMessage) -> Tuple[str, ...]:
+        """Alias resolution for multi-plane frames: bus plane names win, then
+        declared aliases, then positional fallback (reference base.py:773-800)."""
+        image = message.data
+        assert isinstance(image, tuple)
+        if (
+            message.plane_names
+            and len(message.plane_names) == len(image)
+            and all(len(str(n)) > 0 for n in message.plane_names)
+        ):
+            return tuple(message.plane_names)
+        source = message.source
+        if source.plane_aliases and len(source.plane_aliases) == len(image):
+            return source.plane_aliases
+        return tuple(f"{source.name}[{i}]" for i in range(len(image)))
+
+    def _drain_post_queue(self) -> None:
+        for idx, (name, data) in enumerate(self._post_queue.items()):
+            color_space = self._post_color_spaces.get(name, "BGR")
+            self._module_manager.post(
+                f"{name}#{color_space}", idx, int(time.monotonic() * 1000), data
+            )
+        self._post_queue.clear()
+        self._post_color_spaces.clear()
+
+    def _touch_metadata(
+        self,
+        direction: str,
+        frame: Union[np.ndarray, Tuple[np.ndarray, ...]],
+        acquisition_time: int,
+    ) -> None:
+        self._video_metadata.setdefault(
+            direction, VideoSourceMetadata()
+        ).update(frame, acquisition_time)

@@ -1,0 +1,314 @@
+"""Core framework tests: tuners, shm store, VideoSource specs, and the
+capture-source -> module -> reader end-to-end loop in one process."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from cuauv_vision_pipeline_tpu.core import shm
+from cuauv_vision_pipeline_tpu.core.base import (
+    ModuleBase,
+    ModuleReader,
+    VideoSource,
+    sources,
+)
+from cuauv_vision_pipeline_tpu.core.capture_source import CaptureSource, FpsLimiter
+from cuauv_vision_pipeline_tpu.core.tuners import (
+    BoolTuner,
+    DoubleTuner,
+    IntTuner,
+    tuner_from_bytes,
+)
+
+
+# --- tuners -----------------------------------------------------------------
+
+
+def test_int_tuner_roundtrip():
+    t = IntTuner("thresh_min", 10, 0, 255)
+    assert t.byte_size() == len(t.serialize())
+    t2 = IntTuner("thresh_min", 0, 0, 255)
+    t2.deserialize(t.serialize())
+    assert t2.value == 10
+    assert str(t2) == "IntTuner_thresh_min"
+
+
+def test_int_tuner_clamps_out_of_range():
+    t = IntTuner("x", 5, 0, 10)
+    bad = IntTuner("x", 99, 0, 100)  # same name length => same format
+    t.deserialize(bad.serialize())
+    assert t.value == 5  # 99 > max 10 rejected by the captured validator
+
+
+def test_double_and_bool_tuners():
+    d = DoubleTuner("conf", 0.5, 0.0, 1.0)
+    d2 = DoubleTuner("conf", 0.0, 0.0, 1.0)
+    d2.deserialize(d.serialize())
+    assert d2.value == pytest.approx(0.5)
+
+    b = BoolTuner("flag", True)
+    b2 = BoolTuner("flag", False)
+    b2.deserialize(b.serialize())
+    assert b2.value is True
+
+
+def test_tuner_from_bytes_dispatch():
+    t = tuner_from_bytes("IntTuner_alpha", IntTuner("alpha", 3).serialize())
+    assert isinstance(t, IntTuner) and t.value == 3
+    t = tuner_from_bytes("DoubleTuner_beta", DoubleTuner("beta", 2.5).serialize())
+    assert isinstance(t, DoubleTuner) and t.value == 2.5
+    t = tuner_from_bytes("BoolTuner_g", BoolTuner("g", True).serialize())
+    assert isinstance(t, BoolTuner) and t.value is True
+
+
+# --- video source specs -------------------------------------------------------
+
+
+def test_video_source_spec_parsing():
+    vs = VideoSource.create("zed[forward,normal]:u8:f32:f64")
+    assert vs.name == "zed"
+    assert vs.plane_aliases == ("forward", "normal")
+    assert vs.byte_type is np.uint8
+    assert vs.short_type is np.float32
+    assert vs.long_type is np.float64
+
+    vs = VideoSource.create("forward:i8:i32:i64")
+    assert vs.byte_type is np.int8
+    assert vs.short_type is np.int32
+    assert vs.long_type is np.int64
+
+    vs = VideoSource.create("downward")
+    assert vs.name == "downward" and vs.plane_aliases == ()
+
+
+def test_sources_decorator_extracts_aliases():
+    @sources("zed[forward]", "zed[normal]", "downward")
+    def handler(self, a, b, c):
+        pass
+
+    assert handler._sources_aliases == ("forward", "normal", "downward")
+
+
+# --- shm store ---------------------------------------------------------------
+
+
+def test_shm_field_roundtrip():
+    shm.red_buoy_results.center_x.set(0.25)
+    shm.red_buoy_results.visible.set(True)
+    assert shm.red_buoy_results.center_x.get() == pytest.approx(0.25)
+    assert shm.red_buoy_results.visible.get() is True
+
+
+def test_shm_group_snapshot():
+    g = shm.red_buoy_results
+    g.set(center_x=0.1, center_y=-0.2, area=123.0)
+    snap = g.get()
+    assert snap.center_x == pytest.approx(0.1)
+    assert snap.center_y == pytest.approx(-0.2)
+    assert snap.area == pytest.approx(123.0)
+    snap.center_x = 0.9
+    g.set(snap)
+    assert g.center_x.get() == pytest.approx(0.9)
+
+
+def test_shm_define_group_and_string_field():
+    g = shm.define_group(
+        "test_dynamic_group", {"mode": ["string", "idle"], "count": "int"}
+    )
+    assert g.mode.get() == "idle"
+    g.mode.set("running")
+    g.count.set(42)
+    assert g.mode.get() == "running"
+    assert g.count.get() == 42
+    shm.delete_group("test_dynamic_group")
+
+
+def test_shm_watcher_fires_on_write():
+    g = shm.define_group("test_watch_group", {"v": "int"})
+    try:
+        w = shm.watchers.watcher(poll_interval=0.001)
+        w.watch(g)
+        fired = []
+
+        def waiter():
+            fired.append(w.wait(timeout=2.0))
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        time.sleep(0.05)
+        g.v.set(7)
+        t.join()
+        assert fired == [True]
+    finally:
+        shm.delete_group("test_watch_group")
+
+
+def test_shm_watcher_timeout():
+    g = shm.define_group("test_watch_timeout", {"v": "int"})
+    try:
+        w = shm.watchers.watcher(poll_interval=0.001)
+        w.watch(g)
+        assert w.wait(timeout=0.05) is False
+    finally:
+        shm.delete_group("test_watch_timeout")
+
+
+# --- fps limiter ---------------------------------------------------------------
+
+
+def test_fps_limiter_caps_rate():
+    quit_flag = threading.Event()
+    limiter = FpsLimiter("test", quit_flag).rate(100)
+    it = iter(limiter)
+    start = time.monotonic()
+    for _ in range(10):
+        next(it)
+    elapsed = time.monotonic() - start
+    assert elapsed >= 0.08  # ~10 ticks at 100 fps
+
+
+def test_fps_limiter_stops_on_quit():
+    quit_flag = threading.Event()
+    limiter = FpsLimiter("test", quit_flag).rate(1000)
+    it = iter(limiter)
+    next(it)
+    quit_flag.set()
+    with pytest.raises(StopIteration):
+        next(it)
+
+
+# --- end-to-end: capture -> module -> reader -----------------------------------
+
+
+class _OneShotSource(CaptureSource):
+    """Emits a fixed number of 2-plane frames then exhausts."""
+
+    def __init__(self, direction, n_frames):
+        super().__init__()
+        self.direction = direction
+        self.n_frames = n_frames
+
+        def udl(limiter, args):
+            for t in limiter.rate(200):
+                if self.n_frames <= 0:
+                    return
+                self.n_frames -= 1
+                rgb = np.full((16, 24, 3), 120, dtype=np.uint8)
+                depth = np.full((16, 24, 1), 2.5, dtype=np.float32)
+                yield (self.direction, t, (rgb, depth), ("forward", "depth"))
+
+        self.register_capture_udl("oneshot", udl)
+
+
+def test_capture_to_module_end_to_end(unique_direction):
+    """Full loop: capture source writes named planes; a ModuleBase subclass
+    with an @sources handler consumes them, posts a debug image, and writes
+    a result; a ModuleReader sees the post."""
+    results = {}
+
+    class DemoModule(ModuleBase):
+        @sources(f"{unique_direction}[forward]", f"{unique_direction}[depth]")
+        def handle(self, forward, depth):
+            results["shape"] = forward.shape
+            results["depth0"] = float(depth[0, 0, 0])
+            results["norm"] = self.normalize((8, 12))
+            self.post("echo", forward, "BGR")
+            results.setdefault("count", 0)
+            results["count"] += 1
+            if results["count"] >= 3:
+                raise KeyboardInterrupt  # unwound by the loop via quit below
+
+    source = _OneShotSource(unique_direction, n_frames=30)
+    src_thread = threading.Thread(target=source.run_event_loop)
+    src_thread.start()
+    time.sleep(0.2)  # let the block appear
+
+    module = DemoModule(
+        [f"{unique_direction}[forward,depth]"],
+        [IntTuner("thresh", 128, 0, 255)],
+        fps=100,
+        argv=[],
+    )
+
+    # Run the module loop in a thread; stop it after the source exhausts.
+    quit_flag = threading.Event()
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    with module._module_manager:
+        loop_thread = threading.Thread(
+            target=module._loop, args=(quit_flag, log.test)
+        )
+        loop_thread.start()
+
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and results.get("count", 0) < 1:
+            time.sleep(0.02)
+
+        # Reader side: discover the module and its post.
+        assert module.name in ModuleReader.get_active_modules()
+        reader = ModuleReader(module.name)
+        seen_posts = []
+        reader.register_post_udl(
+            lambda mod, name, idx, img, cs: seen_posts.append((name, img.shape, cs))
+        )
+        reader.run_forever(fps=120)
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline and not seen_posts:
+            time.sleep(0.02)
+        reader.unblock()
+
+        quit_flag.set()
+        loop_thread.join(timeout=5)
+
+    source.quit_flag.set()
+    src_thread.join(timeout=5)
+
+    assert results["shape"] == (16, 24, 3)
+    assert results["depth0"] == pytest.approx(2.5)
+    # normalize: (y - h/2) / w, (x - w/2) / w  with h=16, w=24
+    assert results["norm"][0] == pytest.approx((8 - 8) / 24)
+    assert results["norm"][1] == pytest.approx((12 - 12) / 24)
+    assert seen_posts and seen_posts[0][0] == "echo"
+    assert seen_posts[0][1] == (16, 24, 3)
+    assert seen_posts[0][2] == "BGR"
+
+
+def test_module_tuner_update_roundtrip(unique_direction):
+    """GUI-side tuner edit propagates into the module's next tick."""
+
+    class TModule(ModuleBase):
+        def process(self, direction, image):
+            pass
+
+    source = _OneShotSource(unique_direction, n_frames=200)
+    src_thread = threading.Thread(target=source.run_event_loop)
+    src_thread.start()
+    time.sleep(0.2)
+
+    module = TModule(
+        [unique_direction], [IntTuner("thresh", 128, 0, 255)], fps=100, argv=[]
+    )
+    with module._module_manager:
+        assert module.tuners["thresh"] == 128
+        reader = ModuleReader(module.name)
+        with reader._all_tuners["thresh"][1] as tacc:  # accessor ctx for update
+            reader._all_tuners["thresh"] = (
+                reader._all_tuners["thresh"][0],
+                tacc,
+                reader._all_tuners["thresh"][2],
+            )
+            reader.update_tuner_value("thresh", 42)
+            deadline = time.monotonic() + 5
+            value = None
+            while time.monotonic() < deadline:
+                module._module_manager.read_messages()
+                value = module.tuners["thresh"]
+                if value == 42:
+                    break
+                time.sleep(0.02)
+            assert value == 42
+
+    source.quit_flag.set()
+    src_thread.join(timeout=5)
