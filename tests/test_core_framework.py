@@ -215,12 +215,10 @@ def test_capture_to_module_end_to_end(unique_direction):
             results["depth0"] = float(depth[0, 0, 0])
             results["norm"] = self.normalize((8, 12))
             self.post("echo", forward, "BGR")
-            results.setdefault("count", 0)
-            results["count"] += 1
-            if results["count"] >= 3:
-                raise KeyboardInterrupt  # unwound by the loop via quit below
+            results["count"] = results.get("count", 0) + 1
 
-    source = _OneShotSource(unique_direction, n_frames=30)
+    # Plenty of frames so the block outlives the whole test; stopped explicitly.
+    source = _OneShotSource(unique_direction, n_frames=100_000)
     src_thread = threading.Thread(target=source.run_event_loop)
     src_thread.start()
     time.sleep(0.2)  # let the block appear
@@ -246,7 +244,18 @@ def test_capture_to_module_end_to_end(unique_direction):
         while time.monotonic() < deadline and results.get("count", 0) < 1:
             time.sleep(0.02)
 
-        # Reader side: discover the module and its post.
+        # Reader side: discover the module and its post. ModuleReader globs
+        # post blocks once at construction, so wait for the first post block
+        # to materialize.
+        import glob as _glob
+
+        from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BLOCK_STUB
+
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not _glob.glob(
+            f"{BLOCK_STUB}module_{module.name}_post%*"
+        ):
+            time.sleep(0.02)
         assert module.name in ModuleReader.get_active_modules()
         reader = ModuleReader(module.name)
         seen_posts = []
@@ -282,7 +291,7 @@ def test_module_tuner_update_roundtrip(unique_direction):
         def process(self, direction, image):
             pass
 
-    source = _OneShotSource(unique_direction, n_frames=200)
+    source = _OneShotSource(unique_direction, n_frames=100_000)
     src_thread = threading.Thread(target=source.run_event_loop)
     src_thread.start()
     time.sleep(0.2)
