@@ -1,0 +1,320 @@
+"""Colorspace conversions, batched for TPU, OpenCV-u8-exact where promised.
+
+The reference's module chains start with ``cv2.cvtColor`` on u8 BGR frames
+(reference utils/color.py:11-32, modules/red_buoy.py:22). These are the
+JAX equivalents: pure functions over ``[..., H, W, 3]`` u8 arrays, composable
+under ``jax.jit`` and batchable over any leading dims.
+
+Exactness contract (verified exhaustively over all 256^3 colors in
+tests/test_ops_color.py):
+
+* ``bgr_to_gray``, ``bgr_to_hsv``, ``bgr_to_ycrcb``, ``bgr_to_lab`` —
+  **bit-exact** vs OpenCV's u8 fixed-point pipelines.
+* ``bgr_to_hls`` — L and S bit-exact; H may differ by 1 for ~0.02% of colors
+  (OpenCV's AVX2 path uses fused multiply-add; XLA may or may not fuse).
+* ``bgr_to_luv`` and the ``*_to_bgr`` inverses — float paths,
+  tolerance-matched (OpenCV's own u8 LUV uses interpolated LUTs).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import cvtables as T
+
+_HALF = {  # rounding bias per shift
+    12: 1 << 11,
+    14: 1 << 13,
+    15: 1 << 14,
+}
+
+
+def _descale(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """OpenCV CV_DESCALE: round-half-up fixed-point rescale (arithmetic
+    shift, valid for negative values)."""
+    return (x + (1 << (shift - 1))) >> shift
+
+
+def _split_bgr(image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    img = image.astype(jnp.int32)
+    return img[..., 0], img[..., 1], img[..., 2]
+
+
+# ---------------------------------------------------------------------------
+# GRAY
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 BGR -> u8 GRAY, bit-exact vs cv2 (BT.601, 15-bit fixed point)."""
+    b, g, r = _split_bgr(image)
+    y = _descale(r * T.GRAY_R + g * T.GRAY_G + b * T.GRAY_B, T.GRAY_SHIFT)
+    return y.astype(jnp.uint8)
+
+
+def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    return bgr_to_gray(image[..., ::-1])
+
+
+def gray_to_bgr(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 GRAY -> u8 BGR (channel replication, exact)."""
+    if image.ndim >= 1 and image.shape[-1] == 1:
+        image = image[..., 0]
+    return jnp.stack([image, image, image], axis=-1).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# HSV
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_hsv(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 BGR -> u8 HSV (H in [0,180)), bit-exact vs cv2's 12-bit tables."""
+    b, g, r = _split_bgr(image)
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    vmin = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - vmin
+
+    sdiv = jnp.asarray(T.HSV_SDIV_TABLE, dtype=jnp.int32)
+    hdiv = jnp.asarray(T.HSV_HDIV_TABLE, dtype=jnp.int32)
+    s = (diff * jnp.take(sdiv, v) + (1 << (T.HSV_SHIFT - 1))) >> T.HSV_SHIFT
+
+    h_raw = jnp.where(
+        v == r,
+        g - b,
+        jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff),
+    )
+    h = (h_raw * jnp.take(hdiv, diff) + (1 << (T.HSV_SHIFT - 1))) >> T.HSV_SHIFT
+    h = jnp.where(h < 0, h + 180, h)
+    return jnp.stack([h, s, v], axis=-1).astype(jnp.uint8)
+
+
+def hsv_to_bgr(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 HSV -> u8 BGR via the float sector algorithm (tolerance-matched)."""
+    img = image.astype(jnp.float32)
+    h = img[..., 0] * jnp.float32(6.0 / 180.0)
+    s = img[..., 1] * jnp.float32(1.0 / 255.0)
+    v = img[..., 2]
+
+    sector = jnp.floor(h)
+    frac = h - sector
+    sector = sector.astype(jnp.int32) % 6
+
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * frac)
+    t = v * (1.0 - s * (1.0 - frac))
+
+    r = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [v, q, p, p, t],
+        v,
+    )
+    g = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [t, v, v, q, p],
+        p,
+    )
+    b = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [p, p, t, v, v],
+        q,
+    )
+    out = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# YCrCb
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_ycrcb(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 BGR -> u8 YCrCb, bit-exact vs cv2 (14-bit fixed point)."""
+    b, g, r = _split_bgr(image)
+    y = _descale(r * T.YCRCB_YR + g * T.YCRCB_YG + b * T.YCRCB_YB, T.YCRCB_SHIFT)
+    cr = _descale((r - y) * T.YCRCB_CR, T.YCRCB_SHIFT) + 128
+    cb = _descale((b - y) * T.YCRCB_CB, T.YCRCB_SHIFT) + 128
+    out = jnp.stack(
+        [y, jnp.clip(cr, 0, 255), jnp.clip(cb, 0, 255)], axis=-1
+    )
+    return out.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# LAB
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_lab(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 BGR (sRGB) -> u8 Lab, bit-exact vs cv2's integer LUT pipeline."""
+    b8, g8, r8 = _split_bgr(image)
+    gamma = jnp.asarray(T.LAB_GAMMA_TABLE, dtype=jnp.int32)
+    cbrt = jnp.asarray(T.LAB_CBRT_TABLE, dtype=jnp.int32)
+    C = T.LAB_XYZ_COEFFS  # static python ints below
+
+    r = jnp.take(gamma, r8)
+    g = jnp.take(gamma, g8)
+    b = jnp.take(gamma, b8)
+
+    fx = jnp.take(
+        cbrt,
+        _descale(
+            r * int(C[0, 0]) + g * int(C[0, 1]) + b * int(C[0, 2]), T.LAB_SHIFT
+        ),
+    )
+    fy = jnp.take(
+        cbrt,
+        _descale(
+            r * int(C[1, 0]) + g * int(C[1, 1]) + b * int(C[1, 2]), T.LAB_SHIFT
+        ),
+    )
+    fz = jnp.take(
+        cbrt,
+        _descale(
+            r * int(C[2, 0]) + g * int(C[2, 1]) + b * int(C[2, 2]), T.LAB_SHIFT
+        ),
+    )
+
+    L = _descale(T.LAB_L_SCALE * fy + T.LAB_L_SHIFT, T.LAB_SHIFT2)
+    a = _descale(500 * (fx - fy) + (128 << T.LAB_SHIFT2), T.LAB_SHIFT2)
+    bb = _descale(200 * (fy - fz) + (128 << T.LAB_SHIFT2), T.LAB_SHIFT2)
+    out = jnp.stack(
+        [jnp.clip(L, 0, 255), jnp.clip(a, 0, 255), jnp.clip(bb, 0, 255)],
+        axis=-1,
+    )
+    return out.astype(jnp.uint8)
+
+
+def lab_to_bgr(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 Lab -> u8 BGR via the float inverse (tolerance-matched)."""
+    img = image.astype(jnp.float32)
+    L = img[..., 0] * jnp.float32(100.0 / 255.0)
+    a = img[..., 1] - jnp.float32(128.0)
+    b = img[..., 2] - jnp.float32(128.0)
+
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(f):
+        f3 = f * f * f
+        return jnp.where(f3 > 0.008856, f3, (f - 16.0 / 116.0) / 7.787)
+
+    X = finv(fx) * T.D65_WHITEPOINT[0]
+    Y = finv(fy) * T.D65_WHITEPOINT[1]
+    Z = finv(fz) * T.D65_WHITEPOINT[2]
+
+    M_inv = np.linalg.inv(T.SRGB2XYZ_D65.astype(np.float64)).astype(np.float32)
+    rl = X * M_inv[0, 0] + Y * M_inv[0, 1] + Z * M_inv[0, 2]
+    gl = X * M_inv[1, 0] + Y * M_inv[1, 1] + Z * M_inv[1, 2]
+    bl = X * M_inv[2, 0] + Y * M_inv[2, 1] + Z * M_inv[2, 2]
+
+    def srgb_encode(c):
+        c = jnp.clip(c, 0.0, 1.0)
+        return jnp.where(
+            c <= 0.0031308, c * 12.92, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
+        )
+
+    out = jnp.stack(
+        [srgb_encode(bl), srgb_encode(gl), srgb_encode(rl)], axis=-1
+    )
+    return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# HLS
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_hls(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 BGR -> u8 HLS. L and S bit-exact vs cv2; H within 1 for the rare
+    colors where OpenCV's FMA rounding differs from separate mul+add."""
+    f = jnp.float32
+    scale = f(1.0) / f(255.0)
+    bf = image[..., 0].astype(f) * scale
+    gf = image[..., 1].astype(f) * scale
+    rf = image[..., 2].astype(f) * scale
+
+    vmax = jnp.maximum(jnp.maximum(bf, gf), rf)
+    vmin = jnp.minimum(jnp.minimum(bf, gf), rf)
+    lum = (vmax + vmin) * f(0.5)
+    diff = vmax - vmin
+
+    denom = jnp.where(lum < f(0.5), vmax + vmin, f(2.0) - (vmax + vmin))
+    denom_safe = jnp.where(denom > 0, denom, f(1.0))
+    s = jnp.where(diff > 0, diff / denom_safe, f(0.0))
+
+    diff_safe = jnp.where(diff > 0, diff, f(1.0))
+    ddiff = f(60.0) / diff_safe
+    h = jnp.where(
+        vmax == rf,
+        (gf - bf) * ddiff,
+        jnp.where(
+            vmax == gf,
+            (bf - rf) * ddiff + f(120.0),
+            (rf - gf) * ddiff + f(240.0),
+        ),
+    )
+    h = jnp.where(h < 0, h + f(360.0), h)
+    h = jnp.where(diff > 0, h, f(0.0))
+
+    out = jnp.stack(
+        [
+            jnp.rint(h * f(0.5)),
+            jnp.rint(lum * f(255.0)),
+            jnp.rint(s * f(255.0)),
+        ],
+        axis=-1,
+    )
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# LUV (float path, tolerance-matched)
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_luv(image: jnp.ndarray) -> jnp.ndarray:
+    """u8 BGR (sRGB) -> u8 Luv with OpenCV's output scaling
+    (L*255/100, (u+134)*255/354, (v+140)*255/262). OpenCV's own u8 path uses
+    interpolated LUTs; this float path matches within a couple of counts."""
+    lin = jnp.asarray(T.SRGB_LINEAR_TABLE_F32)
+    b = jnp.take(lin, image[..., 0].astype(jnp.int32))
+    g = jnp.take(lin, image[..., 1].astype(jnp.int32))
+    r = jnp.take(lin, image[..., 2].astype(jnp.int32))
+
+    M = T.SRGB2XYZ_D65
+    X = r * M[0, 0] + g * M[0, 1] + b * M[0, 2]
+    Y = r * M[1, 0] + g * M[1, 1] + b * M[1, 2]
+    Z = r * M[2, 0] + g * M[2, 1] + b * M[2, 2]
+
+    L = jnp.where(
+        Y > 0.008856,
+        116.0 * jnp.cbrt(Y) - 16.0,
+        903.3 * Y,
+    )
+    d = X + 15.0 * Y + 3.0 * Z
+    d_safe = jnp.where(d > 0, d, 1.0)
+    u_prime = jnp.where(d > 0, 4.0 * X / d_safe, T.LUV_UN)
+    v_prime = jnp.where(d > 0, 9.0 * Y / d_safe, T.LUV_VN)
+    u = 13.0 * L * (u_prime - T.LUV_UN)
+    v = 13.0 * L * (v_prime - T.LUV_VN)
+
+    Lo = jnp.rint(L * (255.0 / 100.0))
+    uo = jnp.rint((u + 134.0) * (255.0 / 354.0))
+    vo = jnp.rint((v + 140.0) * (255.0 / 262.0))
+    out = jnp.stack([Lo, uo, vo], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# RGB <-> BGR and aliases
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_rgb(image: jnp.ndarray) -> jnp.ndarray:
+    return image[..., ::-1]
+
+
+rgb_to_bgr = bgr_to_rgb

@@ -3,17 +3,30 @@
 Tests run JAX on a virtual 8-device CPU mesh so multi-chip sharding code is
 exercised without TPU hardware (the driver separately dry-runs the multichip
 path; bench.py runs on the real chip).
+
+Note: some installed packages register pytest plugins that import jax before
+this conftest executes, which bakes the ambient JAX_PLATFORMS (e.g. the TPU
+tunnel) into jax's config defaults. We therefore both set the env vars AND
+update jax.config explicitly — the latter works as long as no backend has
+been initialized yet.
 """
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}"
+)
+assert jax.device_count() >= 8, "expected the virtual 8-device CPU mesh"
 
 import uuid
 

@@ -1,0 +1,118 @@
+"""Golden tests: JAX colorspace ops vs OpenCV, exhaustive over the u8 cube.
+
+The full 256^3 cube (16.7M colors as a 4096x4096 image) is checked for the
+bit-exact conversions; sampled grids plus random images for the
+tolerance-matched ones. cv2 is a test-only dependency (the framework itself
+never imports it on the compute path).
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+
+from cuauv_vision_pipeline_tpu.ops import color as C
+
+
+def _full_cube() -> np.ndarray:
+    b, g, r = np.meshgrid(
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    return np.stack([b, g, r], axis=-1).reshape(4096, 4096, 3)
+
+
+def _sub_cube(step=4) -> np.ndarray:
+    b, g, r = np.meshgrid(
+        np.arange(0, 256, step, dtype=np.uint8),
+        np.arange(0, 256, 2, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    return np.stack([b, g, r], axis=-1).reshape(-1, 4096, 3)
+
+
+CUBE = _full_cube()
+
+
+@pytest.mark.parametrize(
+    "ours,cv_code",
+    [
+        (C.bgr_to_gray, cv2.COLOR_BGR2GRAY),
+        (C.bgr_to_hsv, cv2.COLOR_BGR2HSV),
+        (C.bgr_to_ycrcb, cv2.COLOR_BGR2YCrCb),
+        (C.bgr_to_lab, cv2.COLOR_BGR2LAB),
+    ],
+    ids=["gray", "hsv", "ycrcb", "lab"],
+)
+def test_bit_exact_over_full_cube(ours, cv_code):
+    ref = cv2.cvtColor(CUBE, cv_code)
+    got = np.asarray(jax.jit(ours)(CUBE))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hls_l_s_bit_exact_h_within_one():
+    cube = _sub_cube()
+    ref = cv2.cvtColor(cube, cv2.COLOR_BGR2HLS)
+    got = np.asarray(jax.jit(C.bgr_to_hls)(cube))
+    np.testing.assert_array_equal(got[..., 1], ref[..., 1])  # L exact
+    np.testing.assert_array_equal(got[..., 2], ref[..., 2])  # S exact
+    dh = got[..., 0].astype(int) - ref[..., 0].astype(int)
+    dh = np.minimum(np.abs(dh), 180 - np.abs(dh))  # circular
+    assert dh.max() <= 1
+    assert (dh != 0).mean() < 5e-4  # only the rare FMA-boundary colors
+
+
+def test_luv_tolerance():
+    cube = _sub_cube(step=8)
+    ref = cv2.cvtColor(cube, cv2.COLOR_BGR2LUV).astype(int)
+    got = np.asarray(jax.jit(C.bgr_to_luv)(cube)).astype(int)
+    # OpenCV's own u8 LUV path is LUT-interpolated; agree within 2 counts.
+    assert np.abs(got - ref).max() <= 2
+
+
+def test_inverse_paths_tolerance():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+
+    lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+    ref = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR).astype(int)
+    got = np.asarray(C.lab_to_bgr(lab)).astype(int)
+    assert np.abs(got - ref).max() <= 2
+
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR).astype(int)
+    got = np.asarray(C.hsv_to_bgr(hsv)).astype(int)
+    assert np.abs(got - ref).max() <= 2
+
+
+def test_gray_to_bgr_exact():
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    ref = cv2.cvtColor(g, cv2.COLOR_GRAY2BGR)
+    got = np.asarray(C.gray_to_bgr(g))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_batched_leading_dims():
+    rng = np.random.default_rng(1)
+    batch = rng.integers(0, 256, (5, 32, 48, 3), dtype=np.uint8)
+    got = np.asarray(jax.jit(C.bgr_to_lab)(batch))
+    for i in range(5):
+        np.testing.assert_array_equal(
+            got[i], cv2.cvtColor(batch[i], cv2.COLOR_BGR2LAB)
+        )
+
+
+def test_bgr_rgb_swap():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(C.bgr_to_rgb(img)), img[..., ::-1])
+    np.testing.assert_array_equal(
+        np.asarray(C.rgb_to_gray(img[..., ::-1])),
+        cv2.cvtColor(img, cv2.COLOR_BGR2GRAY),
+    )
