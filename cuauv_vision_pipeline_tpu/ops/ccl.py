@@ -1,0 +1,234 @@
+"""Connected-component labeling + per-blob statistics on device.
+
+This replaces the reference's host-side ``cv2.findContours`` feature path
+(reference utils/feature.py:5-40, modules/red_buoy.py:38-45): instead of
+downloading the mask and tracing polygons, the mask stays on the TPU; labels
+and per-component reductions (area, centroid, bbox) come back as a small
+fixed-size tensor. Polyline tracing for drawing stays on host
+(utils/feature.py) and is only needed for debug posts.
+
+Algorithm (TPU-friendly, no data-dependent shapes):
+
+1. every foreground pixel starts labeled with its own raster index;
+2. iterate until fixpoint: an 8-neighborhood min (3x3 dilate-style pass to
+   carry labels across diagonal links), then full row and column *run-min*
+   sweeps implemented with ``associative_scan`` over (value, reset) pairs —
+   one sweep propagates a label across an entire horizontal/vertical run,
+   so convergence takes O(spirals) iterations (2-4 for convex-ish blobs),
+   not O(image diameter);
+3. the fixpoint labels each component with the raster index of its topmost-
+   leftmost pixel, giving a deterministic raster ordering;
+4. components are compacted to ids [0, max_components) by a cumsum over
+   root indicators, and statistics are computed with segment reductions.
+
+Related technique: coarse-to-fine / run-based parallel CCL (PAPERS.md,
+arxiv 1712.09789, 2105.09658); the run-min sweep here is the 1-D run pass
+expressed as an XLA scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_SENTINEL = jnp.int32(2**30)  # "no label" (background); > any raster index
+
+
+def _runmin_scan(labels: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min-propagate labels along `axis` within contiguous foreground runs.
+
+    Uses an associative (value, reset) scan: reset marks run starts
+    (background pixels), so the running min never crosses a run boundary.
+    Applied forward and backward for a full within-run min.
+    """
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), jnp.logical_or(ar, br)
+
+    reset = jnp.logical_not(fg)
+
+    fwd, _ = jax.lax.associative_scan(combine, (labels, reset), axis=axis)
+    bwd, _ = jax.lax.associative_scan(
+        combine, (labels, reset), axis=axis, reverse=True
+    )
+    out = jnp.minimum(fwd, bwd)
+    return jnp.where(fg, out, _SENTINEL)
+
+
+def _neighbor_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """3x3 min over foreground labels (8-connectivity hop)."""
+    nd = labels.ndim
+    out = -jax.lax.reduce_window(
+        -labels,
+        -_SENTINEL,
+        jax.lax.max,
+        window_dimensions=(1,) * (nd - 2) + (3, 3),
+        window_strides=(1,) * nd,
+        padding=[(0, 0)] * (nd - 2) + [(1, 1), (1, 1)],
+    )
+    return jnp.where(fg, jnp.minimum(labels, out), _SENTINEL)
+
+
+def label(
+    mask: jnp.ndarray,
+    max_iters: int = 64,
+    connectivity: int = 8,
+) -> jnp.ndarray:
+    """Label connected components of a binary mask.
+
+    Args:
+        mask: ``[..., H, W]`` u8/bool; nonzero = foreground.
+        max_iters: fixpoint iteration cap (each iteration propagates across
+            whole runs, so this bounds *spiral complexity*, not diameter).
+        connectivity: 8 (cv2.findContours-compatible) or 4.
+
+    Returns:
+        int32 ``[..., H, W]``: background pixels hold a large sentinel;
+        each component's pixels hold the raster index (y*W + x) of its
+        first (topmost, then leftmost) pixel.
+    """
+    fg = mask != 0
+    H, W = mask.shape[-2], mask.shape[-1]
+    ys = jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1)
+    init = jnp.where(fg, ys * W + xs, _SENTINEL)
+
+    def step(labels):
+        if connectivity == 8:
+            labels = _neighbor_min(labels, fg)
+        labels = _runmin_scan(labels, fg, axis=labels.ndim - 1)
+        labels = _runmin_scan(labels, fg, axis=labels.ndim - 2)
+        return labels
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return jnp.logical_and(prev_changed, it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = step(labels)
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (step(init), jnp.bool_(True), jnp.int32(1))
+    )
+    return labels
+
+
+def component_stats(
+    labels: jnp.ndarray,
+    max_components: int = 32,
+) -> Dict[str, jnp.ndarray]:
+    """Per-component reductions over a label map from :func:`label`.
+
+    Only supports unbatched ``[H, W]`` label maps (batch with ``jax.vmap``).
+
+    Returns a dict of fixed-shape arrays (components in raster order of
+    their first pixel; excess components beyond ``max_components`` are
+    dropped):
+        count:     [] int32, number of components (clamped to capacity)
+        area:      [K] int32 pixel counts
+        centroid:  [K, 2] float32 (y, x) pixel-mass centroids
+        bbox:      [K, 4] int32 (x, y, w, h), cv2.boundingRect convention
+        first_pixel: [K] int32 raster index (the component's label value)
+        valid:     [K] bool
+    """
+    K = max_components
+    H, W = labels.shape[-2], labels.shape[-1]
+    flat = labels.reshape(-1)
+    n = H * W
+
+    fg = flat < _SENTINEL
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = jnp.logical_and(fg, flat == idx)
+
+    # Raster-order compaction: component i = i-th root.
+    compact_of_pos = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # at each pos
+    count = jnp.sum(is_root.astype(jnp.int32))
+
+    # Map every pixel to its component id via a gather at the root position.
+    comp = jnp.where(fg, jnp.take(compact_of_pos, flat, mode="clip"), K)
+    comp = jnp.minimum(comp, K)  # overflow components -> bucket K
+
+    ones = fg.astype(jnp.int32)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+
+    area = jnp.zeros(K + 1, jnp.int32).at[comp].add(ones)
+    sum_y = jnp.zeros(K + 1, jnp.float32).at[comp].add(jnp.where(fg, ys, 0.0))
+    sum_x = jnp.zeros(K + 1, jnp.float32).at[comp].add(jnp.where(fg, xs, 0.0))
+
+    big = jnp.int32(2**30)
+    min_y = jnp.full(K + 1, big, jnp.int32).at[comp].min(
+        jnp.where(fg, idx // W, big)
+    )
+    min_x = jnp.full(K + 1, big, jnp.int32).at[comp].min(
+        jnp.where(fg, idx % W, big)
+    )
+    max_y = jnp.full(K + 1, -1, jnp.int32).at[comp].max(
+        jnp.where(fg, idx // W, -1)
+    )
+    max_x = jnp.full(K + 1, -1, jnp.int32).at[comp].max(
+        jnp.where(fg, idx % W, -1)
+    )
+
+    first_pixel = jnp.full(K + 1, big, jnp.int32).at[comp].min(
+        jnp.where(fg, flat, big)
+    )
+
+    area = area[:K]
+    valid = area > 0
+    safe_area = jnp.maximum(area, 1).astype(jnp.float32)
+    centroid = jnp.stack([sum_y[:K] / safe_area, sum_x[:K] / safe_area], axis=-1)
+    bbox = jnp.stack(
+        [
+            min_x[:K],
+            min_y[:K],
+            jnp.where(valid, max_x[:K] - min_x[:K] + 1, 0),
+            jnp.where(valid, max_y[:K] - min_y[:K] + 1, 0),
+        ],
+        axis=-1,
+    )
+    return {
+        "count": jnp.minimum(count, K),
+        "area": area,
+        "centroid": centroid,
+        "bbox": bbox,
+        "first_pixel": first_pixel[:K],
+        "valid": valid,
+    }
+
+
+@partial(jax.jit, static_argnames=("max_components", "connectivity"))
+def connected_components_with_stats(
+    mask: jnp.ndarray,
+    max_components: int = 32,
+    connectivity: int = 8,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """label() + component_stats() in one jitted graph ([H, W] masks)."""
+    labels = label(mask, connectivity=connectivity)
+    return labels, component_stats(labels, max_components)
+
+
+def largest_component(
+    mask: jnp.ndarray, connectivity: int = 8
+) -> Dict[str, jnp.ndarray]:
+    """Stats of the largest blob (the red_buoy fast path:
+    centroid/area of the most likely contour, reference
+    modules/red_buoy.py:40-50). Jit-compatible; returns scalars."""
+    _, stats = connected_components_with_stats(
+        mask, max_components=32, connectivity=connectivity
+    )
+    i = jnp.argmax(stats["area"])
+    return {
+        "area": stats["area"][i],
+        "centroid": stats["centroid"][i],
+        "bbox": stats["bbox"][i],
+        "found": stats["valid"][i],
+    }
