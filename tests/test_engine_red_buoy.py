@@ -1,0 +1,71 @@
+"""End-to-end test of the fused red_buoy chain and the stream executor."""
+
+import numpy as np
+import pytest
+
+from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
+from cuauv_vision_pipeline_tpu.engine.chains import red_buoy_chain
+from cuauv_vision_pipeline_tpu.engine.executor import DevicePipeline, StreamExecutor
+
+
+def test_chain_detects_synthetic_buoy():
+    frame = buoy_frame((216, 384), t=0.0)
+    pipe = DevicePipeline(red_buoy_chain)
+    threshed, cleaned, best = pipe.run_sync(
+        frame, np.int32(140), np.int32(255)
+    )
+    assert bool(best["found"])
+    # the buoy is a red disc of radius 0.08*216 ~ 17px -> area ~ pi*r^2
+    area = float(best["area"])
+    assert 700 < area < 1200
+    cy, cx = (float(v) for v in best["centroid"])
+    # at t=0 the disc orbits to (h/2 + 0, w/2 + 0.3w)
+    assert abs(cy - 216 / 2) < 3
+    assert abs(cx - (384 / 2 + 0.3 * 384)) < 3
+    assert threshed.dtype == np.uint8 and cleaned.dtype == np.uint8
+
+
+def test_chain_matches_cv2_reference_path():
+    """The fused chain equals the step-by-step OpenCV chain on the mask."""
+    cv2 = pytest.importorskip("cv2")
+    frame = buoy_frame((108, 192), t=1.0)
+    tmin, tmax = 135, 255
+
+    lab = cv2.cvtColor(frame, cv2.COLOR_BGR2LAB)
+    ref_mask = cv2.inRange(lab[..., 1], tmin, tmax)
+    k = cv2.getStructuringElement(cv2.MORPH_RECT, (5, 5))
+    ref_clean = cv2.morphologyEx(
+        cv2.morphologyEx(ref_mask, cv2.MORPH_OPEN, k), cv2.MORPH_CLOSE, k
+    )
+
+    pipe = DevicePipeline(red_buoy_chain)
+    threshed, cleaned, _ = pipe.run_sync(frame, np.int32(tmin), np.int32(tmax))
+    np.testing.assert_array_equal(np.asarray(threshed), ref_mask)
+    np.testing.assert_array_equal(np.asarray(cleaned), ref_clean)
+
+
+def test_tuner_change_does_not_recompile():
+    frame = buoy_frame((64, 96), t=0.0)
+    pipe = DevicePipeline(red_buoy_chain)
+    pipe.warmup(frame, np.int32(100), np.int32(255))
+    import jax
+
+    before = pipe._fn._cache_size()
+    pipe.run_sync(frame, np.int32(10), np.int32(200))
+    pipe.run_sync(frame, np.int32(77), np.int32(128))
+    assert pipe._fn._cache_size() == before
+
+
+def test_stream_executor_pipelines_in_order():
+    pipe = DevicePipeline(lambda x: x.astype(np.float32) * 2.0)
+    stream = StreamExecutor(pipe)
+    outs = []
+    for i in range(5):
+        frame = np.full((4, 4), i, dtype=np.uint8)
+        res = stream.submit((frame,), meta=i)
+        if res is not None:
+            outs.append(res)
+    outs.append(stream.flush())
+    assert [meta for _, meta in outs] == [0, 1, 2, 3, 4]
+    for arr, meta in outs:
+        assert (np.asarray(arr) == meta * 2.0).all()

@@ -1,0 +1,79 @@
+"""Pallas CCL kernel vs the XLA reference implementation (interpret mode on
+the CPU test backend; the TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from cuauv_vision_pipeline_tpu.ops import ccl
+from cuauv_vision_pipeline_tpu.ops.pallas.ccl_kernel import label_pallas
+
+
+def _blobs(seed, shape=(96, 128), thresh=140):
+    rng = np.random.default_rng(seed)
+    blurred = cv2.GaussianBlur(
+        rng.integers(0, 256, shape, dtype=np.uint8), (15, 15), 0
+    )
+    return ((blurred > thresh) * 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_xla_labeling(seed):
+    mask = _blobs(seed)
+    np.testing.assert_array_equal(
+        np.asarray(label_pallas(mask)), np.asarray(ccl.label(mask))
+    )
+
+
+def test_multi_strip_merge():
+    # image taller than one strip: components span strip boundaries
+    mask = _blobs(7, shape=(150, 200))
+    np.testing.assert_array_equal(
+        np.asarray(label_pallas(mask)), np.asarray(ccl.label(mask))
+    )
+
+
+def test_vertical_bar_spanning_all_strips():
+    mask = np.zeros((200, 160), np.uint8)
+    mask[:, 80:85] = 255
+    np.testing.assert_array_equal(
+        np.asarray(label_pallas(mask)), np.asarray(ccl.label(mask))
+    )
+
+
+def test_spiral_global_convergence():
+    mask = np.zeros((96, 96), np.uint8)
+    x0, x1, y0, y1 = 0, 95, 0, 95
+    while x0 < x1:
+        mask[y0, x0 : x1 + 1] = 255
+        mask[y0 : y1 + 1, x1] = 255
+        mask[y1, x0 : x1 + 1] = 255
+        mask[y0 + 2 : y1 + 1, x0] = 255
+        x0 += 4; x1 -= 4; y0 += 4; y1 -= 4
+    np.testing.assert_array_equal(
+        np.asarray(label_pallas(mask)), np.asarray(ccl.label(mask))
+    )
+
+
+def test_connectivity_4():
+    # diagonal checkerboard: one component under 8-conn, many under 4-conn
+    mask = np.zeros((40, 40), np.uint8)
+    mask[::2, ::2] = 255
+    mask[1::2, 1::2] = 255
+    np.testing.assert_array_equal(
+        np.asarray(label_pallas(mask, connectivity=4)),
+        np.asarray(ccl.label(mask, connectivity=4)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(label_pallas(mask, connectivity=8)),
+        np.asarray(ccl.label(mask, connectivity=8)),
+    )
+
+
+def test_non_tile_aligned_shapes():
+    for shape in [(33, 130), (31, 127), (100, 257)]:
+        mask = _blobs(5, shape=shape)
+        np.testing.assert_array_equal(
+            np.asarray(label_pallas(mask)), np.asarray(ccl.label(mask))
+        )
