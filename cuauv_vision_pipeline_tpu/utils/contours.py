@@ -1,0 +1,458 @@
+"""Host-side contour extraction and polygon geometry.
+
+The device path (ops/ccl.py) returns label maps and per-blob stats; these
+helpers produce cv2-style *point lists* for the host-only consumers —
+drawing, polygon moments, rotated rectangles (reference utils/feature.py,
+modules/bins.py:10-81, handlers/*). Tracing runs on the downloaded mask and
+only for debug/geometry work, never in the device hot loop.
+
+Contours are returned in cv2.findContours shape convention: ``[N, 1, 2]``
+int32 arrays of (x, y) points, outer boundaries traced counterclockwise
+(in image coordinates with y down this appears clockwise on screen, same as
+OpenCV). Point *sets* match OpenCV's border following; the start point is
+the topmost-leftmost boundary pixel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# Moore neighborhood in counterclockwise order starting from west:
+# (dx, dy) pairs.
+def _cross2(a, b) -> float:
+    return float(a[0] * b[1] - a[1] * b[0])
+
+
+_MOORE = np.array(
+    [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)],
+    dtype=np.int32,
+)
+
+
+def _trace_boundary(fg: np.ndarray, start: Tuple[int, int]) -> np.ndarray:
+    """Moore-neighbor boundary tracing (Jacob's stopping criterion) from the
+    topmost-leftmost pixel of a component. fg is a padded bool array."""
+    sy, sx = start
+    contour = [(sx, sy)]
+    # backtrack starts pointing west of the start pixel (it is bg: the start
+    # is the leftmost pixel of the top row of the component)
+    prev_dir = 0  # index into _MOORE of the bg neighbor we came from (west)
+    cy, cx = sy, sx
+    first_move: Optional[Tuple[int, int, int]] = None
+
+    for _ in range(4 * fg.size):
+        # search the Moore neighborhood clockwise starting after prev_dir
+        found = False
+        for k in range(1, 9):
+            d = (prev_dir + k) % 8
+            dx, dy = _MOORE[d]
+            ny, nx = cy + dy, cx + dx
+            if fg[ny, nx]:
+                # next boundary pixel; new backtrack = direction of the
+                # previous (bg) neighbor as seen from the new pixel
+                bdx, bdy = _MOORE[(d + 7) % 8]
+                # position we checked just before finding fg (a bg pixel)
+                prev_bg = (cy + _MOORE[(d - 1) % 8][1], cx + _MOORE[(d - 1) % 8][0])
+                # direction from new pixel back to that bg pixel
+                rel = (prev_bg[1] - nx, prev_bg[0] - ny)  # (dx, dy)
+                idx = _dir_index(rel)
+                move = (cy, cx, d)
+                if first_move is None:
+                    first_move = move
+                elif (cy, cx) == (sy, sx) and move == first_move:
+                    return np.array(contour[:-1], dtype=np.int32).reshape(-1, 1, 2)
+                cy, cx = ny, nx
+                contour.append((cx, cy))
+                prev_dir = idx
+                found = True
+                break
+        if not found:
+            break  # isolated pixel
+    return np.array(
+        contour[:-1] if len(contour) > 1 else contour, dtype=np.int32
+    ).reshape(-1, 1, 2)
+
+
+_DIR_LOOKUP = {tuple(d): i for i, d in enumerate(map(tuple, _MOORE))}
+
+
+def _dir_index(rel: Tuple[int, int]) -> int:
+    return _DIR_LOOKUP[rel]
+
+
+def find_contours(
+    mask: np.ndarray, external_only: bool = True
+) -> List[np.ndarray]:
+    """Extract boundary contours of a binary mask.
+
+    external_only=True matches cv2.RETR_EXTERNAL (outer boundaries only);
+    False additionally traces hole boundaries (cv2.RETR_LIST equivalent).
+    """
+    mask = np.asarray(mask)
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    fg = np.pad(mask != 0, 1, constant_values=False)
+
+    contours: List[np.ndarray] = []
+    H, W = fg.shape
+
+    # Outer boundary starts: fg pixel whose west neighbor is bg and which is
+    # the first (raster order) pixel of a not-yet-traced component.
+    component = _label_components(fg)
+    seen_components = set()
+    starts = np.argwhere(fg & ~np.roll(fg, 1, axis=1))
+    for sy, sx in starts:
+        comp = component[sy, sx]
+        if comp in seen_components:
+            continue
+        seen_components.add(comp)
+        contour = _trace_boundary(fg, (sy, sx))
+        contours.append(contour - 1)  # un-pad
+
+    if not external_only:
+        contours.extend(_hole_contours(fg, component))
+    # cv2 returns contours bottom-to-top of the image in modern versions;
+    # keep raster order of discovery (top-to-bottom) — callers in the
+    # reference never rely on list order beyond max()/filters.
+    return contours
+
+
+def _hole_contours(fg: np.ndarray, component: np.ndarray) -> List[np.ndarray]:
+    """Boundaries of holes (bg regions not connected to the border)."""
+    bg = ~fg
+    # flood from border over bg (4-connectivity like cv2's hole definition)
+    outside = np.zeros_like(bg)
+    outside[0, :] = bg[0, :]
+    outside[-1, :] = bg[-1, :]
+    outside[:, 0] = bg[:, 0]
+    outside[:, -1] = bg[:, -1]
+    changed = True
+    while changed:
+        grown = outside.copy()
+        grown[1:, :] |= outside[:-1, :]
+        grown[:-1, :] |= outside[1:, :]
+        grown[:, 1:] |= outside[:, :-1]
+        grown[:, :-1] |= outside[:, 1:]
+        grown &= bg
+        changed = bool((grown != outside).any())
+        outside = grown
+    holes = bg & ~outside
+    if not holes.any():
+        return []
+    # trace the fg boundary around each hole: start at the pixel just above
+    # each hole's first pixel
+    comp_holes = _label_components(holes)
+    out: List[np.ndarray] = []
+    seen = set()
+    ys, xs = np.nonzero(holes)
+    for y, x in zip(ys, xs):
+        c = comp_holes[y, x]
+        if c in seen:
+            continue
+        seen.add(c)
+        contour = _trace_boundary(fg, (y - 1, x))
+        out.append(contour - 1)
+    return out
+
+
+def _label_components(fg: np.ndarray) -> np.ndarray:
+    """Small host-side 8-connected labeling (two-pass union-find, numpy)."""
+    H, W = fg.shape
+    labels = np.zeros((H, W), dtype=np.int32)
+    parent = [0]
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    next_label = 1
+    for y in range(H):
+        row = fg[y]
+        for x in np.nonzero(row)[0]:
+            neighbors = []
+            if y > 0:
+                for dx in (-1, 0, 1):
+                    nx = x + dx
+                    if 0 <= nx < W and labels[y - 1, nx]:
+                        neighbors.append(labels[y - 1, nx])
+            if x > 0 and labels[y, x - 1]:
+                neighbors.append(labels[y, x - 1])
+            if neighbors:
+                m = min(neighbors)
+                labels[y, x] = m
+                for n in neighbors:
+                    union(m, n)
+            else:
+                labels[y, x] = next_label
+                parent.append(next_label)
+                next_label += 1
+    if next_label > 1:
+        remap = np.array([find(i) for i in range(next_label)], dtype=np.int32)
+        labels = remap[labels]
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Polygon geometry (cv2-compatible math on contour point lists)
+# ---------------------------------------------------------------------------
+
+
+def polygon_moments(contour: np.ndarray) -> dict:
+    """cv2.moments of a contour: Green's-theorem polygon moments
+    (m00/m10/m01 sufficient for the reference's centroid use,
+    reference utils/feature.py:240-252)."""
+    pts = np.asarray(contour, dtype=np.float64).reshape(-1, 2)
+    x = pts[:, 0]
+    y = pts[:, 1]
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    cross = x * yn - xn * y
+    m00 = cross.sum() / 2.0
+    m10 = (cross * (x + xn)).sum() / 6.0
+    m01 = (cross * (y + yn)).sum() / 6.0
+    # cv2 reports positive area for its own traversal order; normalize sign
+    if m00 < 0:
+        m00, m10, m01 = -m00, -m10, -m01
+    return {"m00": m00, "m10": m10, "m01": m01}
+
+
+def contour_area(contour: np.ndarray) -> float:
+    """cv2.contourArea: |shoelace| of the polygon."""
+    return polygon_moments(contour)["m00"]
+
+
+def contour_perimeter(contour: np.ndarray, closed: bool = True) -> float:
+    """cv2.arcLength."""
+    pts = np.asarray(contour, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 2:
+        return 0.0
+    diffs = np.diff(pts, axis=0)
+    length = float(np.sqrt((diffs**2).sum(axis=1)).sum())
+    if closed:
+        length += float(np.linalg.norm(pts[-1] - pts[0]))
+    return length
+
+
+def approx_poly_dp(contour: np.ndarray, epsilon: float, closed: bool = True) -> np.ndarray:
+    """cv2.approxPolyDP: Douglas-Peucker simplification."""
+    pts = np.asarray(contour, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return np.asarray(contour, dtype=np.int32).reshape(-1, 1, 2)
+
+    def dp(points: np.ndarray) -> List[np.ndarray]:
+        if len(points) < 3:
+            return list(points)
+        start, end = points[0], points[-1]
+        seg = end - start
+        seg_len = np.linalg.norm(seg)
+        if seg_len == 0:
+            dists = np.linalg.norm(points - start, axis=1)
+        else:
+            rel = points - start
+            dists = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / seg_len
+        i = int(np.argmax(dists))
+        if dists[i] > epsilon:
+            left = dp(points[: i + 1])
+            right = dp(points[i:])
+            return left[:-1] + right
+        return [start, end]
+
+    if closed:
+        # split at the two farthest points to approximate a closed curve
+        far = int(np.argmax(np.linalg.norm(pts - pts[0], axis=1)))
+        first = dp(np.vstack([pts[: far + 1]]))
+        second = dp(np.vstack([pts[far:], pts[:1]]))
+        out = first[:-1] + second[:-1]
+    else:
+        out = dp(pts)
+    return np.round(np.array(out)).astype(np.int32).reshape(-1, 1, 2)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull points CCW as [N, 2] float64."""
+    pts = np.unique(np.asarray(points, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out: List[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and _cross2(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(
+    contour: np.ndarray,
+) -> Tuple[Tuple[float, float], Tuple[float, float], float]:
+    """cv2.minAreaRect via rotating calipers on the convex hull.
+
+    Returns ((cx, cy), (w, h), angle_deg) with cv2's convention
+    (angle in (0, 90]; w is the extent along the edge defining the angle).
+    """
+    hull = convex_hull(contour)
+    if len(hull) == 0:
+        return ((0.0, 0.0), (0.0, 0.0), 0.0)
+    if len(hull) == 1:
+        return ((float(hull[0][0]), float(hull[0][1])), (0.0, 0.0), 0.0)
+    if len(hull) == 2:
+        c = hull.mean(axis=0)
+        d = hull[1] - hull[0]
+        return (
+            (float(c[0]), float(c[1])),
+            (float(np.linalg.norm(d)), 0.0),
+            float(np.degrees(np.arctan2(d[1], d[0])) % 180.0),
+        )
+
+    best = None
+    n = len(hull)
+    for i in range(n):
+        edge = hull[(i + 1) % n] - hull[i]
+        norm = np.linalg.norm(edge)
+        if norm == 0:
+            continue
+        ux = edge / norm
+        uy = np.array([-ux[1], ux[0]])
+        proj_x = hull @ ux
+        proj_y = hull @ uy
+        w = proj_x.max() - proj_x.min()
+        h = proj_y.max() - proj_y.min()
+        area = w * h
+        if best is None or area < best[0]:
+            cx = (proj_x.max() + proj_x.min()) / 2
+            cy = (proj_y.max() + proj_y.min()) / 2
+            center = cx * ux + cy * uy
+            angle = np.degrees(np.arctan2(ux[1], ux[0]))
+            best = (area, center, w, h, angle)
+
+    _, center, w, h, angle = best
+    # normalize to cv2's convention: angle in (0, 90]
+    angle = angle % 180.0
+    if angle >= 90.0:
+        angle -= 90.0
+        w, h = h, w
+    elif angle < 0:
+        angle += 90.0
+        w, h = h, w
+    if angle == 0.0:
+        angle = 90.0
+        w, h = h, w
+    return ((float(center[0]), float(center[1])), (float(w), float(h)), float(angle))
+
+
+def min_enclosing_circle(
+    contour: np.ndarray,
+) -> Tuple[Tuple[float, float], float]:
+    """cv2.minEnclosingCircle (Welzl on the convex hull)."""
+    pts = convex_hull(contour)
+    if len(pts) == 0:
+        return (0.0, 0.0), 0.0
+    rng = np.random.default_rng(0)
+    pts = pts[rng.permutation(len(pts))]
+
+    def circle_two(a, b):
+        c = (a + b) / 2
+        return c, float(np.linalg.norm(a - b) / 2)
+
+    def circle_three(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-12:
+            # collinear: widest pair
+            pairs = [(a, b), (b, c), (a, c)]
+            return max(
+                (circle_two(p, q) for p, q in pairs), key=lambda t: t[1]
+            )
+        ux = (
+            (ax**2 + ay**2) * (by - cy)
+            + (bx**2 + by**2) * (cy - ay)
+            + (cx**2 + cy**2) * (ay - by)
+        ) / d
+        uy = (
+            (ax**2 + ay**2) * (cx - bx)
+            + (bx**2 + by**2) * (ax - cx)
+            + (cx**2 + cy**2) * (bx - ax)
+        ) / d
+        center = np.array([ux, uy])
+        return center, float(np.linalg.norm(center - a))
+
+    def inside(c, r, p, eps=1e-7):
+        return np.linalg.norm(p - c) <= r + eps
+
+    c, r = pts[0], 0.0
+    for i, p in enumerate(pts):
+        if inside(c, r, p):
+            continue
+        c, r = p, 0.0
+        for j in range(i):
+            q = pts[j]
+            if inside(c, r, q):
+                continue
+            c, r = circle_two(p, q)
+            for k in range(j):
+                s = pts[k]
+                if inside(c, r, s):
+                    continue
+                c, r = circle_three(p, q, s)
+    return (float(c[0]), float(c[1])), float(r)
+
+
+def fit_ellipse(
+    contour: np.ndarray,
+) -> Tuple[Tuple[float, float], Tuple[float, float], float]:
+    """cv2.fitEllipse-style least-squares ellipse (Fitzgibbon direct fit).
+
+    Returns ((cx, cy), (major_diam, minor_diam), angle_deg)."""
+    pts = np.asarray(contour, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 5:
+        raise ValueError("fit_ellipse needs at least 5 points")
+    x = pts[:, 0]
+    y = pts[:, 1]
+    xm, ym = x.mean(), y.mean()
+    xs, ys = x - xm, y - ym
+    D1 = np.column_stack([xs**2, xs * ys, ys**2])
+    D2 = np.column_stack([xs, ys, np.ones_like(xs)])
+    S1 = D1.T @ D1
+    S2 = D1.T @ D2
+    S3 = D2.T @ D2
+    T = -np.linalg.solve(S3, S2.T)
+    M = S1 + S2 @ T
+    C = np.array([[0, 0, 2], [0, -1, 0], [2, 0, 0]], dtype=np.float64)
+    Mh = np.linalg.solve(C, M)
+    eigval, eigvec = np.linalg.eig(Mh)
+    cond = 4 * eigvec[0] * eigvec[2] - eigvec[1] ** 2
+    a1 = eigvec[:, np.nonzero(cond > 0)[0][0]].real
+    coeffs = np.concatenate([a1, T @ a1])
+    A, B, Cc, D, E, F = coeffs
+    B /= 2; D /= 2; E /= 2
+    den = B * B - A * Cc
+    cx = (Cc * D - B * E) / den
+    cy = (A * E - B * D) / den
+    num = 2 * (A * E * E + Cc * D * D + F * B * B - 2 * B * D * E - A * Cc * F)
+    s = np.sqrt(((A - Cc) ** 2 + 4 * B * B))
+    a_ax = np.sqrt(num / (den * (s - (A + Cc))))
+    b_ax = np.sqrt(num / (den * (-s - (A + Cc))))
+    angle = 0.5 * np.degrees(np.arctan2(2 * B, A - Cc))
+    major, minor = 2 * a_ax, 2 * b_ax
+    if major < minor:
+        major, minor = minor, major
+        angle += 90.0
+    angle = (angle + 180.0) % 180.0  # cv2 measures from the vertical
+    return ((cx + xm, cy + ym), (minor, major), angle)

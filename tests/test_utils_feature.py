@@ -1,0 +1,175 @@
+"""Golden tests for the utils feature/contour layer vs OpenCV."""
+
+import math
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from cuauv_vision_pipeline_tpu.utils import contours as CT
+from cuauv_vision_pipeline_tpu.utils import feature as F
+
+RNG = np.random.default_rng(3)
+
+
+def _blobs(seed, shape=(96, 128), thresh=140):
+    rng = np.random.default_rng(seed)
+    blurred = cv2.GaussianBlur(
+        rng.integers(0, 256, shape, dtype=np.uint8), (15, 15), 0
+    )
+    return ((blurred > thresh) * 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_outer_contours_same_point_sets_as_cv2(seed):
+    mask = _blobs(seed)
+    ref = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)[0]
+    got = F.outer_contours(mask)
+    assert len(got) == len(ref)
+    ref_sets = sorted(
+        (frozenset(map(tuple, c.reshape(-1, 2))) for c in ref), key=min
+    )
+    got_sets = sorted(
+        (frozenset(map(tuple, c.reshape(-1, 2))) for c in got), key=min
+    )
+    assert ref_sets == got_sets
+
+
+def test_all_contours_includes_holes():
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:35, 5:35] = 255
+    mask[15:25, 15:25] = 0  # a hole
+    outer = F.outer_contours(mask)
+    both = F.all_contours(mask)
+    assert len(outer) == 1
+    assert len(both) == 2
+
+
+def test_contour_area_and_centroid_match_cv2():
+    mask = _blobs(1)
+    ref = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)[0]
+    got = F.outer_contours(mask)
+    ref_stats = sorted(
+        (cv2.contourArea(c),) + _centroid_cv(c) for c in ref if cv2.contourArea(c) > 0
+    )
+    got_stats = sorted(
+        (F.contour_area(c),) + F.contour_centroid(c)
+        for c in got
+        if F.contour_area(c) > 0
+    )
+    for (ra, rx, ry), (ga, gx, gy) in zip(ref_stats, got_stats):
+        assert abs(ra - ga) < 1e-6
+        assert abs(rx - gx) <= 1 and abs(ry - gy) <= 1
+
+
+def _centroid_cv(c):
+    m = cv2.moments(c)
+    if m["m00"] == 0:
+        return (0, 0)
+    return int(m["m10"] / m["m00"]), int(m["m01"] / m["m00"])
+
+
+def test_contour_perimeter_matches_cv2():
+    mask = _blobs(2)
+    ref = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)[0]
+    got = F.outer_contours(mask)
+    ref_p = sorted(cv2.arcLength(c, True) for c in ref)
+    got_p = sorted(F.contour_perimeter(c) for c in got)
+    np.testing.assert_allclose(ref_p, got_p, rtol=1e-6)
+
+
+def test_min_area_rect_matches_cv2():
+    for trial in range(4):
+        pts = (RNG.random((25, 2)) * 80 + 10).astype(np.float32).reshape(-1, 1, 2)
+        ref = cv2.minAreaRect(pts)
+        got = F.min_enclosing_rect(pts)
+        assert abs(ref[1][0] * ref[1][1] - got[1][0] * got[1][1]) < 0.5
+        np.testing.assert_allclose(
+            np.sort(cv2.boxPoints(ref), axis=0),
+            np.sort(cv2.boxPoints(got), axis=0),
+            atol=0.2,
+        )
+
+
+def test_min_enclosing_circle_matches_cv2():
+    pts = (RNG.random((30, 2)) * 90 + 5).astype(np.float32).reshape(-1, 1, 2)
+    (rx, ry), rr = cv2.minEnclosingCircle(pts)
+    (gx, gy), gr = F.min_enclosing_circle(pts)
+    assert abs(rr - gr) < 0.05
+    assert abs(rx - gx) < 0.5 and abs(ry - gy) < 0.5
+
+
+def test_fit_ellipse_close_to_cv2():
+    t = np.linspace(0, 2 * np.pi, 60)
+    ex = 50 + 30 * np.cos(t) * np.cos(0.5) - 15 * np.sin(t) * np.sin(0.5)
+    ey = 60 + 30 * np.cos(t) * np.sin(0.5) + 15 * np.sin(t) * np.cos(0.5)
+    c = np.stack([ex, ey], -1).astype(np.float32).reshape(-1, 1, 2)
+    ref = cv2.fitEllipse(c)
+    got = F.min_enclosing_ellipse(c)
+    np.testing.assert_allclose(ref[0], got[0], atol=0.5)
+    np.testing.assert_allclose(sorted(ref[1]), sorted(got[1]), atol=0.5)
+    assert abs((ref[2] - got[2] + 90) % 180 - 90) < 1.0
+
+
+def test_canny_overlaps_cv2():
+    img = _blobs(5, thresh=120)
+    smooth = cv2.GaussianBlur(RNG.integers(0, 256, (96, 128), np.uint8), (7, 7), 0)
+    for mat in (img, smooth):
+        ref = cv2.Canny(mat, 50, 150) != 0
+        got = F.canny(mat, 50, 150) != 0
+        union = (ref | got).sum()
+        if union == 0:
+            continue
+        iou = (ref & got).sum() / union
+        assert iou > 0.85, f"canny IoU {iou}"
+
+
+def test_find_corners_near_cv2():
+    img = np.zeros((80, 80), np.uint8)
+    img[20:60, 25:65] = 255
+    got = F.find_corners(img, 4, 0.01, 10).reshape(-1, 2)
+    ref = cv2.goodFeaturesToTrack(img, 4, 0.01, 10).reshape(-1, 2)
+    assert len(got) == 4
+    for r in ref:
+        d = np.linalg.norm(got - r, axis=1).min()
+        assert d <= 3.0
+
+
+def test_find_lines_detects_synthetic_line():
+    img = np.zeros((100, 100), np.uint8)
+    img[50, 10:90] = 255  # horizontal line: rho=50, theta=pi/2
+    lines = F.find_lines(img, threshold=40)
+    assert len(lines) >= 1
+    rho, theta = lines[0, 0]
+    assert abs(theta - math.pi / 2) < 0.05
+    assert abs(rho - 50) <= 1.0
+
+
+def test_find_line_segments_endpoints():
+    img = np.zeros((100, 100), np.uint8)
+    img[30, 20:80] = 255
+    segs = F.find_line_segments(img, threshold=30, min_line_length=40)
+    assert len(segs) >= 1
+    x1, y1, x2, y2 = segs[0, 0]
+    assert y1 == 30 and y2 == 30
+    assert abs(min(x1, x2) - 20) <= 2 and abs(max(x1, x2) - 79) <= 2
+
+
+def test_find_circles_synthetic():
+    img = np.zeros((120, 120), np.uint8)
+    cv2.circle(img, (60, 60), 25, 255, -1)
+    img = cv2.GaussianBlur(img, (5, 5), 0)
+    circles = F.find_circles(img, vote_thresh=20, min_radius=10, max_radius=50)
+    assert circles.shape[1] >= 1
+    x, y, r = circles[0, 0]
+    assert abs(x - 60) <= 3 and abs(y - 60) <= 3
+    assert abs(r - 25) <= 4
+
+
+def test_approx_poly_reduces_rectangle():
+    mask = np.zeros((60, 80), np.uint8)
+    mask[10:50, 15:65] = 255
+    contour = F.outer_contours(mask)[0]
+    approx = F.contour_approx(contour, epsilon_ratio=0.02)
+    assert 4 <= len(approx) <= 6  # near-rectangle
