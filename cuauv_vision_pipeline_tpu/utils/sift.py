@@ -1,0 +1,271 @@
+"""Feature matching (SIFT-style) with device-side descriptor matching.
+
+Parity target: reference utils/sift.py — a SIFT wrapper with named source
+images, FLANN kd-tree matching, Lowe ratio test, RANSAC homography, and a
+projected quad per detected source (reference sift.py:14-142), plus
+``draw_transformed_box``/``draw_keypoints`` (reference sift.py:145-165).
+
+TPU re-design: keypoint detection+description stays a host concern (it is
+sparse and branchy — OpenCV's SIFT when available, otherwise a built-in
+DoG+gradient-histogram descriptor), while the O(N*M) descriptor distance
+matrix, the 2-NN search, and the Lowe ratio test run as one jitted matmul
+on the MXU (`match_descriptors`): for production sets (thousands of
+descriptors) this is the dominant cost and maps perfectly onto the TPU.
+RANSAC homography also runs vectorized: all candidate minimal sets are
+solved and scored in one batched device pass (`ransac_homography`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .draw import Color, draw_circle, draw_polylines
+
+
+@jax.jit
+def _distance_topk(query: jnp.ndarray, train: jnp.ndarray):
+    """All-pairs L2 distances (via the MXU) + 2-NN per query row.
+
+    query [N, D], train [M, D] -> (dist2 [N, 2], idx [N, 2])."""
+    q2 = jnp.sum(query * query, axis=1, keepdims=True)
+    t2 = jnp.sum(train * train, axis=1)[None, :]
+    cross = query @ train.T  # MXU
+    d2 = jnp.maximum(q2 + t2 - 2.0 * cross, 0.0)
+    neg, idx = jax.lax.top_k(-d2, 2)
+    return -neg, idx
+
+
+def match_descriptors(
+    query: np.ndarray, train: np.ndarray, ratio: float = 0.7
+) -> List[Tuple[int, int, float]]:
+    """Lowe-ratio 2-NN matching -> [(query_idx, train_idx, distance)]."""
+    if len(query) == 0 or len(train) < 2:
+        return []
+    d2, idx = _distance_topk(
+        jnp.asarray(query, jnp.float32), jnp.asarray(train, jnp.float32)
+    )
+    d = np.sqrt(np.asarray(d2))
+    idx = np.asarray(idx)
+    good = d[:, 0] < ratio * d[:, 1]
+    return [
+        (int(i), int(idx[i, 0]), float(d[i, 0]))
+        for i in np.nonzero(good)[0]
+    ]
+
+
+def _homography_from_4(src: np.ndarray, dst: np.ndarray) -> Optional[np.ndarray]:
+    """DLT homography from 4 correspondences (host, tiny)."""
+    A = []
+    for (x, y), (u, v) in zip(src, dst):
+        A.append([-x, -y, -1, 0, 0, 0, u * x, u * y, u])
+        A.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
+    A = np.asarray(A, np.float64)
+    try:
+        _, _, vt = np.linalg.svd(A)
+    except np.linalg.LinAlgError:
+        return None
+    H = vt[-1].reshape(3, 3)
+    if abs(H[2, 2]) < 1e-12:
+        return None
+    return H / H[2, 2]
+
+
+def ransac_homography(
+    src_pts: np.ndarray,
+    dst_pts: np.ndarray,
+    thresh: float = 5.0,
+    iters: int = 256,
+    seed: int = 0,
+) -> Tuple[Optional[np.ndarray], np.ndarray]:
+    """RANSAC homography (cv2.findHomography(RANSAC) equivalent).
+
+    Minimal-set solves happen on host (4x4 SVDs); consensus scoring of all
+    candidates over all points runs as one vectorized device pass.
+    Returns (H or None, inlier_mask)."""
+    src = np.asarray(src_pts, np.float64).reshape(-1, 2)
+    dst = np.asarray(dst_pts, np.float64).reshape(-1, 2)
+    n = len(src)
+    if n < 4:
+        return None, np.zeros(n, bool)
+
+    rng = np.random.default_rng(seed)
+    candidates = []
+    for _ in range(iters):
+        sel = rng.choice(n, 4, replace=False)
+        H = _homography_from_4(src[sel], dst[sel])
+        if H is not None:
+            candidates.append(H)
+    if not candidates:
+        return None, np.zeros(n, bool)
+
+    Hs = jnp.asarray(np.stack(candidates), jnp.float32)  # [C, 3, 3]
+    s = jnp.asarray(
+        np.concatenate([src, np.ones((n, 1))], axis=1), jnp.float32
+    )  # [N, 3]
+    d = jnp.asarray(dst, jnp.float32)
+
+    proj = jnp.einsum("cij,nj->cni", Hs, s)
+    w = jnp.where(jnp.abs(proj[..., 2]) < 1e-9, 1e-9, proj[..., 2])
+    uv = proj[..., :2] / w[..., None]
+    err = jnp.linalg.norm(uv - d[None], axis=-1)  # [C, N]
+    inliers = err < thresh
+    counts = jnp.sum(inliers, axis=1)
+    best = int(jnp.argmax(counts))
+    mask = np.asarray(inliers[best])
+    if mask.sum() < 4:
+        return None, mask
+
+    # refit on all inliers (least squares DLT)
+    H = _refit(src[mask], dst[mask])
+    return H, mask
+
+
+def _refit(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    A = []
+    for (x, y), (u, v) in zip(src, dst):
+        A.append([-x, -y, -1, 0, 0, 0, u * x, u * y, u])
+        A.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
+    _, _, vt = np.linalg.svd(np.asarray(A, np.float64))
+    H = vt[-1].reshape(3, 3)
+    return H / H[2, 2]
+
+
+def _builtin_detect_and_compute(gray: np.ndarray, max_keypoints: int = 500):
+    """Fallback detector/descriptor when OpenCV SIFT is unavailable:
+    Shi-Tomasi keypoints + 8x8-cell gradient-orientation histograms (a
+    SIFT-like 128-D descriptor). Not scale invariant; adequate for the
+    planar-target matching the reference uses it for."""
+    from ..ops.feature import find_corners, _sobel_3x3
+
+    pts = find_corners(gray, max_keypoints, 0.01, 8).reshape(-1, 2)
+    gx, gy = _sobel_3x3(jnp.asarray(gray, jnp.float32))
+    gx = np.asarray(gx)
+    gy = np.asarray(gy)
+    mag = np.hypot(gx, gy)
+    ang = np.arctan2(gy, gx) % (2 * np.pi)
+
+    H, W = gray.shape[:2]
+    descs = []
+    kps = []
+    for x, y in pts:
+        xi, yi = int(x), int(y)
+        if xi < 8 or yi < 8 or xi >= W - 8 or yi >= H - 8:
+            continue
+        patch_m = mag[yi - 8 : yi + 8, xi - 8 : xi + 8]
+        patch_a = ang[yi - 8 : yi + 8, xi - 8 : xi + 8]
+        desc = np.zeros((4, 4, 8), np.float32)
+        cell_y = np.arange(16) // 4
+        cell_x = np.arange(16) // 4
+        bins = np.floor(patch_a / (2 * np.pi / 8)).astype(int) % 8
+        for cy in range(4):
+            for cx in range(4):
+                sel = np.zeros((16, 16), bool)
+                sel[cy * 4 : cy * 4 + 4, cx * 4 : cx * 4 + 4] = True
+                for b in range(8):
+                    desc[cy, cx, b] = patch_m[sel & (bins == b)].sum()
+        v = desc.reshape(-1)
+        norm = np.linalg.norm(v)
+        if norm > 0:
+            v = np.minimum(v / norm, 0.2)
+            v = v / max(np.linalg.norm(v), 1e-9)
+        descs.append(v)
+        kps.append((float(x), float(y)))
+    if not descs:
+        return np.empty((0, 2), np.float32), np.empty((0, 128), np.float32)
+    return np.asarray(kps, np.float32), np.asarray(descs, np.float32)
+
+
+def detect_and_compute(gray: np.ndarray, max_keypoints: int = 500):
+    """Keypoints [N, 2] (x, y) + descriptors [N, D]. Uses OpenCV SIFT when
+    present (same detector as the reference), else the built-in fallback."""
+    try:
+        import cv2
+
+        sift = cv2.SIFT_create(nfeatures=max_keypoints)
+        kp, des = sift.detectAndCompute(np.asarray(gray), None)
+        if des is None or len(kp) == 0:
+            return np.empty((0, 2), np.float32), np.empty((0, 128), np.float32)
+        pts = np.asarray([k.pt for k in kp], np.float32)
+        return pts, des.astype(np.float32)
+    except Exception:
+        return _builtin_detect_and_compute(np.asarray(gray), max_keypoints)
+
+
+class SIFT:
+    """Named-source feature matcher (reference utils/sift.py:14-142)."""
+
+    def __init__(self, checks: int = 50):
+        # `checks` tuned FLANN precision in the reference; the exact 2-NN
+        # matmul here is always exhaustive (strictly more precise).
+        self.checks = checks
+        self.sources: Dict[str, dict] = {}
+
+    def add_source(self, name: str, source: np.ndarray):
+        kp, des = detect_and_compute(source)
+        self.sources[name] = {"name": name, "source": source, "kp": kp, "des": des}
+        return kp, des
+
+    def add_many(self, **kwargs):
+        for name, source in kwargs.items():
+            self.add_source(name, source)
+
+    def match(
+        self,
+        img: np.ndarray,
+        min_match: int = 10,
+        ratio: float = 0.7,
+        draw: bool = False,
+    ) -> List[dict]:
+        """Find all sources in ``img``. Returns one dict per detected source
+        with name/homography/quad/matches; optionally draws the quads."""
+        kp_img, des_img = detect_and_compute(img)
+        results: List[dict] = []
+        for name, src in self.sources.items():
+            if len(src["des"]) < 2 or len(des_img) < 2:
+                continue
+            good = match_descriptors(src["des"], des_img, ratio)
+            if len(good) < min_match:
+                continue
+            src_pts = np.asarray([src["kp"][q] for q, _, _ in good])
+            dst_pts = np.asarray([kp_img[t] for _, t, _ in good])
+            H, mask = ransac_homography(src_pts, dst_pts)
+            if H is None:
+                continue
+            h, w = src["source"].shape[:2]
+            corners = np.asarray(
+                [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float64
+            )
+            ones = np.concatenate([corners, np.ones((4, 1))], axis=1)
+            proj = ones @ H.T
+            quad = (proj[:, :2] / proj[:, 2:3]).astype(np.int32)
+            results.append(
+                {
+                    "name": name,
+                    "homography": H,
+                    "quad": quad,
+                    "matches": len(good),
+                    "inliers": int(mask.sum()),
+                }
+            )
+            if draw:
+                draw_transformed_box(img, quad)
+        return results
+
+
+def draw_transformed_box(
+    img: np.ndarray, quad: np.ndarray, color=Color.GREEN, thickness: int = 3
+) -> None:
+    """Draw a matched source's projected quad (reference sift.py:145-155)."""
+    draw_polylines(img, [np.asarray(quad).reshape(-1, 2)], True, color, thickness)
+
+
+def draw_keypoints(
+    img: np.ndarray, keypoints: np.ndarray, color=Color.RED
+) -> None:
+    """Mark keypoints (reference sift.py:158-165)."""
+    for x, y in np.asarray(keypoints).reshape(-1, 2):
+        draw_circle(img, (int(x), int(y)), 3, color, 1)

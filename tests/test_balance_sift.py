@@ -1,0 +1,134 @@
+"""Tests for the color-balance engine and the SIFT matching layer."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cuauv_vision_pipeline_tpu.ops import balance as B
+from cuauv_vision_pipeline_tpu.utils import sift as S
+
+
+def _underwater_image(seed=0, shape=(72, 96)):
+    """Synthetic scene with a strong blue-green cast."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(30, 120, (*shape, 3), dtype=np.uint8)
+    img[..., 0] = np.clip(img[..., 0].astype(int) + 80, 0, 255)  # blue cast
+    img[..., 1] = np.clip(img[..., 1].astype(int) + 40, 0, 255)
+    return img
+
+
+def test_equalize_reduces_color_cast():
+    img = _underwater_image()
+    cfg = B.BalanceConfig(
+        equalize_rgb=True,
+        hsi_contrast_correct=False,
+        rgb_extrema_clipping=False,
+    )
+    out = np.asarray(jax.jit(B.balance, static_argnums=1)(img, cfg))
+    assert out.dtype == np.uint8
+    before_spread = np.ptp([img[..., c].mean() for c in range(3)])
+    after_spread = np.ptp([out[..., c].mean() for c in range(3)])
+    assert after_spread < before_spread * 0.5
+
+
+def test_full_pipeline_shapes_and_range():
+    img = _underwater_image(1)
+    out = B.process_frame(
+        img,
+        equalize_rgb=True,
+        rgb_contrast_correct=True,
+        hsv_contrast_correct=False,
+        hsi_contrast_correct=True,
+        rgb_extrema_clipping=True,
+        adaptive_cast_correction=True,
+        horizontal_blocks=2,
+        vertical_blocks=2,
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_hsv_contrast_increases_value_range():
+    img = (_underwater_image(2) // 2 + 60).astype(np.uint8)  # low contrast
+    cfg = B.BalanceConfig(
+        equalize_rgb=False,
+        hsv_contrast_correct=True,
+        hsi_contrast_correct=False,
+        rgb_extrema_clipping=False,
+    )
+    out = np.asarray(jax.jit(B.balance, static_argnums=1)(img, cfg))
+    assert int(out.max()) - int(out.min()) >= int(img.max()) - int(img.min())
+
+
+def test_hsi_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).astype(np.float32)
+    r, g, b = img[..., 2], img[..., 1], img[..., 0]
+    h, s, i = B._rgb_to_hsi(r, g, b)
+    r2, g2, b2 = B._hsi_to_rgb(h, s, i)
+    np.testing.assert_allclose(np.asarray(r2), r, atol=1.5)
+    np.testing.assert_allclose(np.asarray(g2), g, atol=1.5)
+    np.testing.assert_allclose(np.asarray(b2), b, atol=1.5)
+
+
+def test_u8_percentiles_exact():
+    rng = np.random.default_rng(4)
+    ch = rng.integers(0, 256, (100, 100), dtype=np.uint8)
+    vmin, vmax = B._u8_percentiles(ch, 0.002, 0.998)
+    ref_lo, ref_hi = np.percentile(ch, [0.2, 99.8])
+    assert abs(float(vmin) - ref_lo) <= 2
+    assert abs(float(vmax) - ref_hi) <= 2
+    # bounds must reflect the actual data range, not saturate to 0/255
+    narrow = rng.integers(90, 140, (64, 64), dtype=np.uint8)
+    vmin, vmax = B._u8_percentiles(narrow, 0.002, 0.998)
+    assert 88 <= float(vmin) <= 95
+    assert 133 <= float(vmax) <= 140
+
+
+# --- SIFT / matching ----------------------------------------------------------
+
+
+def test_match_descriptors_lowe_ratio():
+    rng = np.random.default_rng(0)
+    train = rng.normal(size=(50, 128)).astype(np.float32)
+    # queries 0..9 are near-copies of train 10..19; rest is noise
+    query = rng.normal(size=(20, 128)).astype(np.float32)
+    query[:10] = train[10:20] + rng.normal(scale=0.01, size=(10, 128))
+    matches = S.match_descriptors(query, train, ratio=0.7)
+    matched = {q: t for q, t, _ in matches}
+    for q in range(10):
+        assert matched.get(q) == q + 10
+
+
+def test_ransac_homography_recovers_transform():
+    rng = np.random.default_rng(1)
+    src = rng.random((60, 2)) * 100
+    H_true = np.array([[0.9, 0.1, 5.0], [-0.05, 1.1, -3.0], [1e-4, -2e-4, 1.0]])
+    ones = np.concatenate([src, np.ones((60, 1))], axis=1)
+    proj = ones @ H_true.T
+    dst = proj[:, :2] / proj[:, 2:3]
+    dst[:10] += rng.normal(scale=20, size=(10, 2))  # outliers
+    H, mask = S.ransac_homography(src, dst, thresh=2.0)
+    assert H is not None
+    assert mask.sum() >= 45
+    test = np.array([[50.0, 50.0, 1.0]])
+    p_true = test @ H_true.T
+    p_got = test @ H.T
+    np.testing.assert_allclose(
+        p_true[:, :2] / p_true[:, 2:], p_got[:, :2] / p_got[:, 2:], atol=0.5
+    )
+
+
+def test_sift_finds_embedded_source():
+    rng = np.random.default_rng(2)
+    scene = rng.integers(0, 255, (200, 260), dtype=np.uint8)
+    source = rng.integers(0, 255, (80, 100), dtype=np.uint8)
+    scene[40:120, 60:160] = source  # paste at (60, 40)
+
+    sift = S.SIFT()
+    sift.add_source("target", source)
+    results = sift.match(scene, min_match=8)
+    assert len(results) == 1
+    quad = results[0]["quad"]
+    assert abs(quad[0][0] - 60) < 6 and abs(quad[0][1] - 40) < 6
+    assert abs(quad[2][0] - 159) < 6 and abs(quad[2][1] - 119) < 6
