@@ -1,0 +1,249 @@
+"""Fused detection decode + NMS, entirely on device.
+
+The reference runs ultralytics' torch decode/NMS on CPU/CUDA (reference
+modules/yolo.py:113-116); here decode (DFL expectation, anchor offsets),
+score thresholding, and class-aware greedy NMS are one jittable graph with
+fixed-capacity outputs — no dynamic shapes, no host round-trips until the
+final [max_det] tensors are read by the handlers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STRIDES = (8, 16, 32)
+
+
+def _flatten_scales(
+    outputs: Dict[str, List[jnp.ndarray]], image_size: int
+) -> Dict[str, jnp.ndarray]:
+    """Concatenate per-scale maps into per-anchor rows + anchor centers."""
+    boxes, clses, angles, kpts = [], [], [], []
+    centers, strides = [], []
+    for i, stride in enumerate(STRIDES):
+        bm = outputs["box"][i]
+        B = bm.shape[0]
+        H, W = bm.shape[1], bm.shape[2]
+        boxes.append(bm.reshape(B, H * W, -1))
+        clses.append(outputs["cls"][i].reshape(B, H * W, -1))
+        if "angle" in outputs:
+            angles.append(outputs["angle"][i].reshape(B, H * W, 1))
+        if "kpts" in outputs:
+            kpts.append(outputs["kpts"][i].reshape(B, H * W, -1))
+        ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) * stride
+        xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * stride
+        cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
+        centers.append(jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1))
+        strides.append(jnp.full((H * W,), stride, jnp.float32))
+
+    out = {
+        "box": jnp.concatenate(boxes, axis=1),
+        "cls": jnp.concatenate(clses, axis=1),
+        "centers": jnp.concatenate(centers, axis=0),
+        "strides": jnp.concatenate(strides, axis=0),
+    }
+    if angles:
+        out["angle"] = jnp.concatenate(angles, axis=1)
+    if kpts:
+        out["kpts"] = jnp.concatenate(kpts, axis=1)
+    return out
+
+
+def _dfl_expectation(box_logits: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """[..., 4*reg_max] logits -> [..., 4] expected ltrb distances."""
+    shape = box_logits.shape[:-1] + (4, reg_max)
+    probs = jax.nn.softmax(box_logits.reshape(shape), axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.sum(probs * bins, axis=-1)
+
+
+def _aabb_iou(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one xyxy box against many."""
+    x1 = jnp.maximum(box[0], boxes[:, 0])
+    y1 = jnp.maximum(box[1], boxes[:, 1])
+    x2 = jnp.minimum(box[2], boxes[:, 2])
+    y2 = jnp.minimum(box[3], boxes[:, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    a = jnp.maximum(box[2] - box[0], 0) * jnp.maximum(box[3] - box[1], 0)
+    b = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    return inter / jnp.maximum(a + b - inter, 1e-9)
+
+
+def nms_fixed(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_thresh: float = 0.45,
+    max_det: int = 32,
+    class_aware: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS with a fixed detection budget.
+
+    Returns (indices [max_det], valid [max_det]). Scores <= 0 never
+    selected."""
+    n = scores.shape[0]
+
+    def body(i, state):
+        alive_scores, picked, valid = state
+        best = jnp.argmax(alive_scores)
+        best_score = alive_scores[best]
+        ok = best_score > 0.0
+        picked = picked.at[i].set(jnp.where(ok, best, -1))
+        valid = valid.at[i].set(ok)
+        ious = _aabb_iou(boxes_xyxy[best], boxes_xyxy)
+        same_class = jnp.logical_or(
+            not class_aware, classes == classes[best]
+        )
+        suppress = jnp.logical_and(ious >= iou_thresh, same_class)
+        suppress = suppress.at[best].set(True)
+        alive_scores = jnp.where(
+            jnp.logical_and(suppress, ok), 0.0, alive_scores
+        )
+        return alive_scores, picked, valid
+
+    picked = jnp.full((max_det,), -1, jnp.int32)
+    valid = jnp.zeros((max_det,), bool)
+    _, picked, valid = jax.lax.fori_loop(
+        0, max_det, body, (scores, picked, valid)
+    )
+    return picked, valid
+
+
+def decode(
+    outputs: Dict[str, List[jnp.ndarray]],
+    image_size: int,
+    reg_max: int = 16,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 32,
+) -> Dict[str, jnp.ndarray]:
+    """Decode one image's raw head outputs into fixed-size detections.
+
+    Returns dict of [max_det]-shaped arrays: xyxy, score, cls, valid,
+    plus angle (obb) / kpts (pose) when present. Coordinates are in model
+    input pixels (callers rescale to the original frame).
+    """
+    flat = _flatten_scales(outputs, image_size)
+    box = flat["box"][0]  # [N, 4*reg_max]
+    cls = flat["cls"][0]  # [N, C]
+    centers = flat["centers"]  # [N, 2]
+    strides = flat["strides"]  # [N]
+
+    dists = _dfl_expectation(box, reg_max) * strides[:, None]
+    cx, cy = centers[:, 0], centers[:, 1]
+    x1 = cx - dists[:, 0]
+    y1 = cy - dists[:, 1]
+    x2 = cx + dists[:, 2]
+    y2 = cy + dists[:, 3]
+    boxes_xyxy = jnp.stack([x1, y1, x2, y2], axis=-1)
+
+    probs = jax.nn.sigmoid(cls)
+    scores = jnp.max(probs, axis=-1)
+    classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    scores = jnp.where(scores >= conf_thresh, scores, 0.0)
+
+    picked, valid = nms_fixed(boxes_xyxy, scores, classes, iou_thresh, max_det)
+    safe = jnp.maximum(picked, 0)
+
+    out = {
+        "xyxy": boxes_xyxy[safe],
+        "score": jnp.where(valid, scores[safe], 0.0),
+        "cls": jnp.where(valid, classes[safe], -1),
+        "valid": valid,
+    }
+    if "angle" in flat:
+        # ultralytics OBB: angle in (-pi/4, 3pi/4) via (sigmoid - 0.25) * pi
+        angle = (jax.nn.sigmoid(flat["angle"][0, :, 0]) - 0.25) * jnp.pi
+        out["angle"] = angle[safe]
+    if "kpts" in flat:
+        k = flat["kpts"][0]
+        nk = k.shape[-1] // 3
+        k = k.reshape(-1, nk, 3)
+        kx = (k[..., 0] * 2.0) * strides[:, None] + (centers[:, 0:1] - 0.5 * strides[:, None])
+        ky = (k[..., 1] * 2.0) * strides[:, None] + (centers[:, 1:2] - 0.5 * strides[:, None])
+        kv = jax.nn.sigmoid(k[..., 2])
+        out["kpts"] = jnp.stack([kx, ky, kv], axis=-1)[safe]
+    return out
+
+
+def obb_corners(
+    xyxy: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """[M, 4] xyxy + [M] angle -> [M, 4, 2] rotated corners (x, y)."""
+    cx = (xyxy[:, 0] + xyxy[:, 2]) / 2
+    cy = (xyxy[:, 1] + xyxy[:, 3]) / 2
+    w = xyxy[:, 2] - xyxy[:, 0]
+    h = xyxy[:, 3] - xyxy[:, 1]
+    cos = jnp.cos(angle)
+    sin = jnp.sin(angle)
+    corners = []
+    for sx, sy in ((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)):
+        dx = sx * w
+        dy = sy * h
+        corners.append(
+            jnp.stack([cx + dx * cos - dy * sin, cy + dx * sin + dy * cos], -1)
+        )
+    return jnp.stack(corners, axis=1)
+
+
+def summarize(
+    decoded: Dict[str, np.ndarray],
+    class_names: List[str],
+    scale: Tuple[float, float] = (1.0, 1.0),
+    task: str = "detect",
+) -> List[Dict]:
+    """Device detections -> ultralytics Results.summary()-style dicts
+    (the format the reference's MAP_FN parsers consume,
+    reference modules/yolo.py:116-123)."""
+    results = []
+    valid = np.asarray(decoded["valid"])
+    xyxy = np.asarray(decoded["xyxy"])
+    scores = np.asarray(decoded["score"])
+    classes = np.asarray(decoded["cls"])
+    sx, sy = scale
+
+    if task == "obb":
+        import numpy as _np
+
+        corners = np.asarray(
+            obb_corners(
+                jnp.asarray(decoded["xyxy"]), jnp.asarray(decoded["angle"])
+            )
+        )
+
+    for i in np.nonzero(valid)[0]:
+        cls_id = int(classes[i])
+        name = class_names[cls_id] if 0 <= cls_id < len(class_names) else str(cls_id)
+        entry: Dict = {
+            "name": name,
+            "class": cls_id,
+            "confidence": float(scores[i]),
+        }
+        if task == "obb":
+            c = corners[i]
+            entry["box"] = {
+                "x1": float(c[0, 0] * sx), "y1": float(c[0, 1] * sy),
+                "x2": float(c[1, 0] * sx), "y2": float(c[1, 1] * sy),
+                "x3": float(c[2, 0] * sx), "y3": float(c[2, 1] * sy),
+                "x4": float(c[3, 0] * sx), "y4": float(c[3, 1] * sy),
+            }
+        else:
+            entry["box"] = {
+                "x1": float(xyxy[i, 0] * sx), "y1": float(xyxy[i, 1] * sy),
+                "x2": float(xyxy[i, 2] * sx), "y2": float(xyxy[i, 3] * sy),
+            }
+        if task == "pose" and "kpts" in decoded:
+            k = np.asarray(decoded["kpts"])[i]
+            entry["keypoints"] = {
+                "x": [float(v * sx) for v in k[:, 0]],
+                "y": [float(v * sy) for v in k[:, 1]],
+                "visible": [float(v) for v in k[:, 2]],
+            }
+        results.append(entry)
+    return results

@@ -1,0 +1,232 @@
+"""YOLOv8-family architecture in flax (NHWC, MXU-friendly).
+
+Replaces the reference's ultralytics/torch inference (reference
+modules/yolo.py:44-58) with a JAX graph: CSP backbone (Conv-BN-SiLU + C2f
+blocks + SPPF), PAN neck, and decoupled heads for the three tasks the
+reference consumes — 'detect' (DFL box regression + classification), 'obb'
+(adds an angle branch), and 'pose' (adds a keypoint branch). Sizes follow
+the ultralytics n/s/m width-depth multiples so real checkpoint shapes map
+1:1 (weight import in weights.py).
+
+Everything is static-shape and jit-friendly; inference composes with
+decode.py's fused decode+NMS into a single device graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SIZES = {
+    # depth_multiple, width_multiple, max_channels
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "l": (1.0, 1.00, 512),
+}
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(round(x / divisor) * divisor))
+
+
+class ConvBnSilu(nn.Module):
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel, self.kernel),
+            strides=self.stride,
+            padding=self.kernel // 2,
+            use_bias=False,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3
+        )(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    out_channels: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBnSilu(self.out_channels, 3)(x, train)
+        y = ConvBnSilu(self.out_channels, 3)(y, train)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with split + n bottlenecks + concat."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.out_channels // 2
+        y = ConvBnSilu(2 * hidden, 1)(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        outs = [a, b]
+        for _ in range(self.n):
+            b = Bottleneck(hidden, self.shortcut)(b, train)
+            outs.append(b)
+        return ConvBnSilu(self.out_channels, 1)(
+            jnp.concatenate(outs, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained 5x5 max pools."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        y = ConvBnSilu(hidden, 1)(x, train)
+
+        def pool(v):
+            return nn.max_pool(
+                v, window_shape=(5, 5), strides=(1, 1), padding=((2, 2), (2, 2))
+            )
+
+        p1 = pool(y)
+        p2 = pool(p1)
+        p3 = pool(p2)
+        return ConvBnSilu(self.out_channels, 1)(
+            jnp.concatenate([y, p1, p2, p3], axis=-1), train
+        )
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+
+
+class YOLO(nn.Module):
+    """Backbone + PAN neck + per-scale heads.
+
+    Outputs a dict with per-scale feature maps:
+        box: [B, H_i, W_i, 4*reg_max] DFL logits
+        cls: [B, H_i, W_i, num_classes]
+        angle: [B, H_i, W_i, 1] (task='obb')
+        kpts: [B, H_i, W_i, 3*num_keypoints] (task='pose')
+    at strides (8, 16, 32).
+    """
+
+    num_classes: int = 80
+    size: str = "n"
+    task: str = "detect"  # detect | obb | pose
+    reg_max: int = 16
+    num_keypoints: int = 17
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        depth, width, max_ch = SIZES[self.size]
+
+        def ch(base: int) -> int:
+            return _make_divisible(min(base, max_ch) * width)
+
+        def reps(base: int) -> int:
+            return max(1, round(base * depth))
+
+        # ---- backbone (P1..P5) ----
+        x = ConvBnSilu(ch(64), 3, 2)(x, train)  # P1/2
+        x = ConvBnSilu(ch(128), 3, 2)(x, train)  # P2/4
+        x = C2f(ch(128), reps(3))(x, train)
+        x = ConvBnSilu(ch(256), 3, 2)(x, train)  # P3/8
+        p3 = C2f(ch(256), reps(6))(x, train)
+        x = ConvBnSilu(ch(512), 3, 2)(p3, train)  # P4/16
+        p4 = C2f(ch(512), reps(6))(x, train)
+        x = ConvBnSilu(ch(1024), 3, 2)(p4, train)  # P5/32
+        x = C2f(ch(1024), reps(3))(x, train)
+        p5 = SPPF(ch(1024))(x, train)
+
+        # ---- PAN neck ----
+        u4 = jnp.concatenate([_upsample2(p5), p4], axis=-1)
+        n4 = C2f(ch(512), reps(3), shortcut=False)(u4, train)
+        u3 = jnp.concatenate([_upsample2(n4), p3], axis=-1)
+        n3 = C2f(ch(256), reps(3), shortcut=False)(u3, train)  # P3 out
+
+        d4 = ConvBnSilu(ch(256), 3, 2)(n3, train)
+        n4b = C2f(ch(512), reps(3), shortcut=False)(
+            jnp.concatenate([d4, n4], axis=-1), train
+        )  # P4 out
+        d5 = ConvBnSilu(ch(512), 3, 2)(n4b, train)
+        n5 = C2f(ch(1024), reps(3), shortcut=False)(
+            jnp.concatenate([d5, p5], axis=-1), train
+        )  # P5 out
+
+        # ---- heads (decoupled, shared structure across scales) ----
+        outputs: Dict[str, List[jnp.ndarray]] = {"box": [], "cls": []}
+        if self.task == "obb":
+            outputs["angle"] = []
+        if self.task == "pose":
+            outputs["kpts"] = []
+
+        box_ch = max(16, ch(256) // 4, 4 * self.reg_max)
+        cls_ch = max(ch(256), min(self.num_classes, 100))
+
+        for i, feat in enumerate((n3, n4b, n5)):
+            b = ConvBnSilu(box_ch, 3, name=f"box_conv1_{i}")(feat, train)
+            b = ConvBnSilu(box_ch, 3, name=f"box_conv2_{i}")(b, train)
+            outputs["box"].append(
+                nn.Conv(4 * self.reg_max, (1, 1), name=f"box_out_{i}")(b)
+            )
+
+            c = ConvBnSilu(cls_ch, 3, name=f"cls_conv1_{i}")(feat, train)
+            c = ConvBnSilu(cls_ch, 3, name=f"cls_conv2_{i}")(c, train)
+            outputs["cls"].append(
+                nn.Conv(self.num_classes, (1, 1), name=f"cls_out_{i}")(c)
+            )
+
+            if self.task == "obb":
+                a = ConvBnSilu(box_ch, 3, name=f"ang_conv_{i}")(feat, train)
+                outputs["angle"].append(
+                    nn.Conv(1, (1, 1), name=f"ang_out_{i}")(a)
+                )
+            if self.task == "pose":
+                k = ConvBnSilu(box_ch, 3, name=f"kpt_conv_{i}")(feat, train)
+                outputs["kpts"].append(
+                    nn.Conv(3 * self.num_keypoints, (1, 1), name=f"kpt_out_{i}")(k)
+                )
+
+        return outputs
+
+
+def create_model(
+    num_classes: int,
+    size: str = "n",
+    task: str = "detect",
+    image_size: int = 640,
+    seed: int = 0,
+) -> Tuple[YOLO, Dict[str, Any]]:
+    """Build a model and initialize parameters."""
+    model = YOLO(num_classes=num_classes, size=size, task=task)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), dummy)
+    return model, variables
+
+
+def preprocess(image_u8: jnp.ndarray, image_size: int = 640) -> jnp.ndarray:
+    """u8 BGR [..., H, W, 3] -> f32 RGB [..., S, S, 3] in [0, 1] (letterbox-
+    free resize, matching ultralytics' square inference default)."""
+    from ...ops.transform import resize
+
+    img = image_u8[..., ::-1]  # BGR -> RGB
+    if img.shape[-3] != image_size or img.shape[-2] != image_size:
+        img = resize(img, (image_size, image_size))
+    return img.astype(jnp.float32) / 255.0

@@ -1,0 +1,151 @@
+"""High-level YOLO predictor: the ultralytics-YOLO-shaped entry point.
+
+Gives the reference's module code its familiar surface (reference
+modules/yolo.py:49-58, 113-116): construct from a weight path (or task +
+class names), ``.task``, ``.to(device)`` no-op, and ``.track(image)``
+returning objects whose ``.summary()`` yields the dicts MAP_FN parses —
+but the forward + decode + NMS runs as one jitted TPU graph, and tracking
+is a light host-side IoU tracker (the reference's ByteTrack use is hidden
+behind ``model.track``; track ids only need to be stable per target).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode import decode, summarize
+from .model import YOLO, create_model, preprocess
+from .weights import load_checkpoint
+
+DEFAULT_CLASS_NAMES = [
+    "torpedo_board", "shark_hole", "saw_hole",
+    "shark", "saw", "gate_behind",
+    "pole_red", "pole_white",
+    "bin_shark", "bin_saw", "bin",
+    "spoon", "cup", "pink_basket", "yellow_basket",
+]
+
+
+class _Result:
+    """Mimics ultralytics Results just enough for .summary()."""
+
+    def __init__(self, summary: List[Dict]):
+        self._summary = summary
+
+    def summary(self) -> List[Dict]:
+        return self._summary
+
+
+class _IouTracker:
+    """Greedy IoU track-id assignment (host side, per class)."""
+
+    def __init__(self, iou_thresh: float = 0.3, max_age: int = 30):
+        self.iou_thresh = iou_thresh
+        self.max_age = max_age
+        self.tracks: List[dict] = []
+        self.next_id = 1
+
+    @staticmethod
+    def _iou(a, b) -> float:
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua if ua > 0 else 0.0
+
+    def update(self, detections: List[Dict]) -> None:
+        for t in self.tracks:
+            t["age"] += 1
+        for det in detections:
+            box = det["box"]
+            xs = [v for k, v in box.items() if k.startswith("x")]
+            ys = [v for k, v in box.items() if k.startswith("y")]
+            aabb = (min(xs), min(ys), max(xs), max(ys))
+            best, best_iou = None, self.iou_thresh
+            for t in self.tracks:
+                if t["class"] != det["class"]:
+                    continue
+                iou = self._iou(aabb, t["aabb"])
+                if iou > best_iou:
+                    best, best_iou = t, iou
+            if best is None:
+                best = {"id": self.next_id, "class": det["class"]}
+                self.next_id += 1
+                self.tracks.append(best)
+            best["aabb"] = aabb
+            best["age"] = 0
+            det["track_id"] = best["id"]
+        self.tracks = [t for t in self.tracks if t["age"] <= self.max_age]
+
+
+class YoloModel:
+    """TPU YOLO with the call surface modules/yolo.py expects."""
+
+    def __init__(
+        self,
+        weight_path: Optional[str] = None,
+        task: str = "obb",
+        class_names: Optional[Sequence[str]] = None,
+        size: str = "n",
+        image_size: int = 640,
+        conf_thresh: float = 0.25,
+        max_det: int = 32,
+    ):
+        self.image_size = image_size
+        self.conf_thresh = conf_thresh
+        self.max_det = max_det
+        self._tracker = _IouTracker()
+
+        if weight_path and os.path.exists(weight_path):
+            self.model, self.variables, meta = load_checkpoint(weight_path)
+            self.task = meta.get("task", task)
+            self.class_names = meta.get("names", list(class_names or DEFAULT_CLASS_NAMES))
+        else:
+            if weight_path:
+                print(f"[yolo] weight '{weight_path}' not found; random init")
+            self.class_names = list(class_names or DEFAULT_CLASS_NAMES)
+            self.task = task
+            self.model, self.variables = create_model(
+                len(self.class_names), size=size, task=task, image_size=image_size
+            )
+
+        model = self.model
+        reg_max = model.reg_max
+
+        def forward(variables, image_u8):
+            x = preprocess(image_u8[None], self.image_size)
+            outputs = model.apply(variables, x)
+            return decode(
+                outputs,
+                self.image_size,
+                reg_max=reg_max,
+                conf_thresh=self.conf_thresh,
+                max_det=self.max_det,
+            )
+
+        self._forward = jax.jit(forward)
+
+    def to(self, device: str) -> "YoloModel":
+        """Device placement parity shim (reference yolo.py:51-52); JAX
+        arrays already live on the default device."""
+        return self
+
+    def predict(self, image: np.ndarray) -> List[Dict]:
+        h, w = image.shape[:2]
+        decoded = self._forward(self.variables, jnp.asarray(image))
+        decoded = jax.tree.map(np.asarray, decoded)
+        scale = (w / self.image_size, h / self.image_size)
+        return summarize(decoded, self.class_names, scale, self.task)
+
+    def track(self, image: np.ndarray, verbose: bool = False) -> List[_Result]:
+        summary = self.predict(image)
+        self._tracker.update(summary)
+        return [_Result(summary)]
+
+    def __call__(self, image: np.ndarray) -> List[_Result]:
+        return [_Result(self.predict(image))]

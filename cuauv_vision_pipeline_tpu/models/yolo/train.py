@@ -1,0 +1,125 @@
+"""Training step for the YOLO family (used standalone and by the multichip
+dry-run).
+
+The reference consumes externally-trained ultralytics weights and never
+trains in-repo; the rebuild owns its model, so it owns a trainer: a
+center-assigned detection loss (BCE classification over all anchors + DFL
+distribution loss + L1 box regression on assigned anchors) with optax AdamW,
+expressed as a pure jittable step so it shards over a device mesh with
+data-parallel batches and tensor-parallel conv channels (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .decode import STRIDES, _dfl_expectation
+from .model import YOLO
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    model: YOLO, variables: Dict, learning_rate: float = 1e-3
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = optax.adamw(learning_rate)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return (
+        TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32)),
+        tx,
+    )
+
+
+def detection_loss(
+    outputs: Dict[str, list],
+    targets_xyxy: jnp.ndarray,  # [B, T, 4] padded gt boxes (model pixels)
+    targets_cls: jnp.ndarray,  # [B, T] class ids; -1 = padding
+    num_classes: int,
+    reg_max: int = 16,
+) -> jnp.ndarray:
+    """Center-assignment loss: each gt claims the anchor containing its
+    center at every scale; anchors without gts learn zero objectness."""
+    total = 0.0
+    B, T = targets_cls.shape
+    centers_x = (targets_xyxy[..., 0] + targets_xyxy[..., 2]) / 2
+    centers_y = (targets_xyxy[..., 1] + targets_xyxy[..., 3]) / 2
+    valid_t = targets_cls >= 0
+
+    for i, stride in enumerate(STRIDES):
+        cls_map = outputs["cls"][i]  # [B, H, W, C]
+        box_map = outputs["box"][i]  # [B, H, W, 4*reg_max]
+        H, W = cls_map.shape[1], cls_map.shape[2]
+
+        gx = jnp.clip((centers_x / stride).astype(jnp.int32), 0, W - 1)  # [B, T]
+        gy = jnp.clip((centers_y / stride).astype(jnp.int32), 0, H - 1)
+
+        # one-hot class target map via scatter-free accumulation
+        flat_idx = gy * W + gx  # [B, T]
+        onehot_t = jax.nn.one_hot(targets_cls, num_classes) * valid_t[..., None]
+        anchor_onehot = jax.nn.one_hot(flat_idx, H * W) * valid_t[..., None]
+        # [B, H*W, C] target class probabilities (union of assigned gts)
+        cls_target = jnp.clip(
+            jnp.einsum("bta,btc->bac", anchor_onehot, onehot_t), 0.0, 1.0
+        )
+        cls_logits = cls_map.reshape(B, H * W, num_classes)
+        cls_loss = optax.sigmoid_binary_cross_entropy(cls_logits, cls_target)
+        total = total + cls_loss.mean()
+
+        # box regression on assigned anchors: expected ltrb vs gt ltrb
+        dists = _dfl_expectation(
+            box_map.reshape(B, H * W, 4 * reg_max), reg_max
+        ) * stride  # [B, H*W, 4]
+        picked = jnp.take_along_axis(
+            dists, flat_idx[..., None].repeat(4, -1), axis=1
+        )  # [B, T, 4]
+        ax = (gx.astype(jnp.float32) + 0.5) * stride
+        ay = (gy.astype(jnp.float32) + 0.5) * stride
+        gt_ltrb = jnp.stack(
+            [
+                ax - targets_xyxy[..., 0],
+                ay - targets_xyxy[..., 1],
+                targets_xyxy[..., 2] - ax,
+                targets_xyxy[..., 3] - ay,
+            ],
+            axis=-1,
+        )
+        box_l1 = jnp.abs(picked - gt_ltrb) * valid_t[..., None]
+        denom = jnp.maximum(valid_t.sum(), 1)
+        total = total + (box_l1.sum() / denom) / stride
+
+    return total
+
+
+def make_train_step(model: YOLO, tx: optax.GradientTransformation):
+    """Returns train_step(state, images_f32, targets_xyxy, targets_cls)."""
+
+    def loss_fn(params, batch_stats, images, t_xyxy, t_cls):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, updates = model.apply(
+            variables, images, train=True, mutable=["batch_stats"]
+        )
+        loss = detection_loss(outputs, t_xyxy, t_cls, model.num_classes, model.reg_max)
+        return loss, updates["batch_stats"]
+
+    def train_step(state: TrainState, images, t_xyxy, t_cls):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, t_xyxy, t_cls
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, new_stats, opt_state, state.step + 1),
+            loss,
+        )
+
+    return train_step

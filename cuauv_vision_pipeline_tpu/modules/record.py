@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Mission recorder: synchronized mp4s of the ZED planes while a mission is
+active.
+
+Parity target: reference modules/record.py:47-137 — when
+shm.active_mission.active turns on, open four mp4 writers (left/right/
+depth-u8/normal-u8, 10 fps) in the mission log dir and write each bundle;
+close them when the mission deactivates. Replay happens through
+capture_sources/video.py (the system's record/replay resume story,
+SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core import shm
+from ..core.base import ModuleBase, sources
+
+RECORD_FPS = 10
+ZED_MIN_M = 0.5
+ZED_MAX_M = 10.0
+
+
+class Record(ModuleBase):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._writers: Dict[str, object] = {}
+        self._dir: Optional[str] = None
+
+    def _open_writers(self, shape) -> None:
+        import cv2
+
+        log_dir = shm.active_mission.log_path.get() or "/tmp"
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        self._dir = os.path.join(log_dir, f"record-{stamp}")
+        os.makedirs(self._dir, exist_ok=True)
+        h, w = shape[:2]
+        fourcc = cv2.VideoWriter_fourcc(*"avc1")
+        for name in ("left", "right", "depth", "normal"):
+            path = os.path.join(self._dir, f"{name}.mp4")
+            writer = cv2.VideoWriter(path, fourcc, RECORD_FPS, (w, h))
+            if not writer.isOpened():  # avc1 missing: fall back to mp4v
+                writer = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"mp4v"), RECORD_FPS, (w, h)
+                )
+            self._writers[name] = writer
+
+    def _close_writers(self) -> None:
+        for writer in self._writers.values():
+            writer.release()
+        self._writers.clear()
+        self._dir = None
+
+    @sources("zed[forward]", "zed[forward2]", "zed[depth]", "zed[normal]")
+    def handle(self, left, right, depth, normal):
+        active = shm.active_mission.active.get()
+        if not active:
+            if self._writers:
+                self._close_writers()
+            return
+        if not self._writers:
+            self._open_writers(left.shape)
+
+        depth_f = depth[..., 0] if depth.ndim == 3 else depth
+        depth_u8 = np.clip(
+            (depth_f.astype(np.float32) - ZED_MIN_M)
+            * (255.0 / (ZED_MAX_M - ZED_MIN_M)),
+            0,
+            255,
+        ).astype(np.uint8)
+        depth_bgr = np.repeat(depth_u8[..., None], 3, axis=-1)
+        if normal.dtype != np.uint8:
+            normal_u8 = np.clip(normal * 255.0, 0, 255).astype(np.uint8)
+        else:
+            normal_u8 = normal
+
+        self._writers["left"].write(np.ascontiguousarray(left))
+        self._writers["right"].write(np.ascontiguousarray(right))
+        self._writers["depth"].write(np.ascontiguousarray(depth_bgr))
+        self._writers["normal"].write(np.ascontiguousarray(normal_u8))
+
+    def __del__(self):
+        if self._writers:
+            self._close_writers()
+
+
+if __name__ == "__main__":
+    Record(["zed"], [], fps=RECORD_FPS)()
