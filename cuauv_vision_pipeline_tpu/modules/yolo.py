@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""YOLO detection module: device inference -> class buckets -> OBB handlers.
+
+Parity target: reference modules/yolo.py:38-237 — loads a weight (the
+reference hardcodes obb_v14.pt and picks cpu/cuda by CUAUV_LOCALE,
+yolo.py:44-55; here the weight path comes from $CUAUV_YOLO_WEIGHT or
+defaults, and inference always runs on the TPU as one jitted
+forward+decode+NMS graph), maps each detection via MAP_FN, buckets
+detections per handler class, gates on shm.active_objects flags and
+per-detector direction, and dispatches to the registered handlers —
+torpedoes AND the slalom/gate/gate_behind/bins/manipulator handlers the
+reference scaffolded but left commented out (yolo.py:131-233) are all live
+here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Union
+
+import numpy as np
+
+from ..core import shm, tuners
+from ..core.base import ModuleBase, sources
+from ..core.handlers import HandlerMixin
+from ..handlers.bins import BinsOBB
+from ..handlers.gate import GateOBB
+from ..handlers.gate_behind import GateBehindOBB
+from ..handlers.manipulator import ManipulatorOBB
+from ..handlers.slalom import SlalomOBB
+from ..handlers.torpedoes import TorpedoesOBB
+from ..models.yolo.data import MAP_FN, OBBData, PoseData, YOLOData
+from ..models.yolo.predictor import YoloModel
+
+DEFAULT_WEIGHT = os.environ.get("CUAUV_YOLO_WEIGHT", "obb_v14.msgpack")
+
+HANDLERS = [
+    TorpedoesOBB("torpedoes"),
+    SlalomOBB("slalom"),
+    GateOBB("gate"),
+    GateBehindOBB("gate_behind"),
+    BinsOBB("bins"),
+    ManipulatorOBB("manipulator"),
+]
+
+TUNERS = [
+    tuners.DoubleTuner("torpedo_threshold", 0.1, 0, 1),
+    tuners.DoubleTuner("slalom_threshold", 0.0, 0, 1),
+    tuners.DoubleTuner("gate_threshold", 0.1, 0, 1),
+    tuners.DoubleTuner("gate_behind_threshold", 0.7, 0, 1),
+    tuners.DoubleTuner("bins_threshold", 0.4, 0, 1),
+    tuners.DoubleTuner("manipulator_threshold", 0.4, 0, 1),
+]
+
+DetectionData = Union[YOLOData, OBBData, PoseData]
+
+# detector -> (class names it consumes, handler arg order)
+DETECTORS: Dict[str, List[str]] = {
+    "torpedoes": ["torpedo_board", "shark_hole", "saw_hole"],
+    "slalom": ["pole_red", "pole_white"],
+    "gate": ["shark", "saw"],
+    "gate_behind": ["gate_behind"],
+    "bins": ["bin_shark", "bin_saw", "bin"],
+    "manipulator": ["spoon", "cup", "pink_basket", "yellow_basket"],
+}
+
+_ACTIVE_FLAG = {
+    "torpedoes": "yolo_torpedoes_board",
+    "slalom": "yolo_slalom",
+    "gate": "yolo_gate",
+    "gate_behind": "yolo_gate_behind",
+    "bins": "yolo_bins",
+    "manipulator": "yolo_manipulator",
+}
+
+
+class Yolo(ModuleBase, HandlerMixin):
+    def __init__(self, video_sources, tuners, handlers, weight=None, **kwargs):
+        ModuleBase.__init__(self, video_sources, tuners, **kwargs)
+        HandlerMixin.__init__(self, handlers)
+
+        self.weight_path = weight or DEFAULT_WEIGHT
+        self.model = YoloModel(self.weight_path, task="obb")
+        self.model.to("tpu")  # parity shim; jax owns placement
+        self.yolo_model_type = self.model.task
+        self.map_fn: Callable[[dict], DetectionData] = MAP_FN[self.yolo_model_type]
+
+        print("YOLO MODEL INITIALIZED:")
+        print(f"weight: \t{self.weight_path}")
+        print(f"device: \t{'tpu (jax default)'}")
+        print(f"model type: \t{self.yolo_model_type}")
+
+    @staticmethod
+    def _active(detector: str) -> bool:
+        return bool(shm.active_objects.get_field(_ACTIVE_FLAG[detector]))
+
+    @staticmethod
+    def _direction_matches(detector: str, direction: str) -> bool:
+        return (
+            shm.active_objects.get_field(f"{_ACTIVE_FLAG[detector]}_direction")
+            == direction
+        )
+
+    @sources("zed[forward]")
+    def fwd_process(self, image: np.ndarray):
+        direction = "forward"
+        self.post("original image", image)
+
+        results = self.model.track(image, verbose=False)[0].summary()
+
+        buckets: Dict[str, Dict[str, List[DetectionData]]] = {
+            det: {cls: [] for cls in classes}
+            for det, classes in DETECTORS.items()
+            if self._active(det)
+        }
+        for result in results:
+            data = self.map_fn(result)
+            for det, classes in DETECTORS.items():
+                if data.name in classes and det in buckets:
+                    buckets[det][data.name].append(data)
+                    break
+
+        for det, classes in DETECTORS.items():
+            if not self._direction_matches(det, direction):
+                continue
+            if self._active(det):
+                args = [buckets[det][cls] for cls in classes]
+                self.handlers[det].process(direction, image.copy(), *args)
+            else:
+                self.handlers[det].post_grayscale(image)
+
+
+if __name__ == "__main__":
+    Yolo(video_sources=["zed"], tuners=TUNERS, handlers=HANDLERS)()

@@ -1,0 +1,176 @@
+"""YOLO stack tests: model shapes, decode/NMS, data parsing, handlers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN, OBBData
+from cuauv_vision_pipeline_tpu.models.yolo.decode import (
+    decode,
+    nms_fixed,
+    obb_corners,
+    summarize,
+)
+from cuauv_vision_pipeline_tpu.models.yolo.model import create_model, preprocess
+from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+from cuauv_vision_pipeline_tpu.models.yolo.utils import order_points
+
+
+def test_model_output_shapes():
+    model, variables = create_model(num_classes=5, size="n", task="obb",
+                                    image_size=160)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    out = model.apply(variables, x)
+    assert len(out["box"]) == 3 and len(out["cls"]) == 3
+    assert out["box"][0].shape == (1, 20, 20, 64)  # stride 8, 4*reg_max
+    assert out["cls"][0].shape == (1, 20, 20, 5)
+    assert out["angle"][0].shape == (1, 20, 20, 1)
+    assert out["box"][2].shape == (1, 5, 5, 64)  # stride 32
+
+
+def test_decode_fixed_shapes():
+    model, variables = create_model(num_classes=3, size="n", task="detect",
+                                    image_size=160)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    out = model.apply(variables, x)
+    decoded = decode(out, 160, max_det=8)
+    assert decoded["xyxy"].shape == (8, 4)
+    assert decoded["score"].shape == (8,)
+    assert decoded["valid"].shape == (8,)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [
+            [0, 0, 10, 10],
+            [1, 1, 11, 11],  # overlaps box 0
+            [50, 50, 60, 60],
+        ],
+        jnp.float32,
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    classes = jnp.asarray([0, 0, 0], jnp.int32)
+    picked, valid = nms_fixed(boxes, scores, classes, iou_thresh=0.5, max_det=3)
+    picked = np.asarray(picked)
+    valid = np.asarray(valid)
+    assert valid.tolist() == [True, True, False]
+    assert set(picked[valid].tolist()) == {0, 2}
+
+
+def test_nms_class_aware_keeps_other_class():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    classes = jnp.asarray([0, 1], jnp.int32)
+    _, valid = nms_fixed(boxes, scores, classes, iou_thresh=0.5, max_det=2)
+    assert np.asarray(valid).all()
+
+
+def test_obb_corners_axis_aligned_at_zero_angle():
+    xyxy = jnp.asarray([[10.0, 20.0, 30.0, 60.0]])
+    corners = np.asarray(obb_corners(xyxy, jnp.asarray([0.0])))
+    assert corners.shape == (1, 4, 2)
+    np.testing.assert_allclose(
+        sorted(map(tuple, corners[0])), [(10, 20), (10, 60), (30, 20), (30, 60)]
+    )
+
+
+def test_map_fn_parsers():
+    obb = MAP_FN["obb"](
+        {
+            "name": "torpedo_board",
+            "class": 0,
+            "confidence": 0.88,
+            "box": {
+                "x1": 1, "y1": 2, "x2": 3, "y2": 4,
+                "x3": 5, "y3": 6, "x4": 7, "y4": 8,
+            },
+        }
+    )
+    assert isinstance(obb, OBBData)
+    assert obb.corners == [(1, 2), (3, 4), (5, 6), (7, 8)]
+    assert obb.confidence == pytest.approx(0.88)
+
+    det = MAP_FN["detect"](
+        {"name": "x", "class": 1, "confidence": 0.5,
+         "box": {"x1": 0, "y1": 0, "x2": 10, "y2": 20}}
+    )
+    assert det.area == 200
+    pose = MAP_FN["pose"](
+        {"name": "p", "class": 2, "confidence": 0.6,
+         "box": {"x1": 0, "y1": 0, "x2": 1, "y2": 1},
+         "keypoints": {"x": [1, 2], "y": [3, 4], "visible": [1, 0.5]}}
+    )
+    assert pose.keypoints == [(1, 3, 1), (2, 4, 0.5)]
+
+
+def test_order_points():
+    pts = [(10, 10), (50, 12), (48, 40), (8, 42)]
+    tl, tr, bl, br = order_points(pts)
+    assert tl == (10, 10)
+    assert tr == (50, 12)
+    assert bl == (8, 42)
+    assert br == (48, 40)
+
+
+def test_predictor_end_to_end_random_weights():
+    model = YoloModel(None, task="obb", image_size=160, max_det=8,
+                      conf_thresh=0.0)
+    img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
+    results = model.track(img)[0].summary()
+    # random weights: just verify the contract
+    for r in results:
+        assert set(r["box"].keys()) == {
+            "x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"
+        }
+        assert "track_id" in r
+
+
+def test_torpedoes_handler_writes_shm():
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.handlers.torpedoes import TorpedoesOBB
+
+    class FakeModule:
+        def __init__(self):
+            self._shape = (100, 200)
+
+        def normalize_axis(self, coord, axis):
+            return (coord - self._shape[1 - axis] / 2) / self._shape[1]
+
+        def normalize(self, coord):
+            return self.normalize_axis(coord[0], 1), self.normalize_axis(coord[1], 0)
+
+        def post(self, name, img, color_space="BGR"):
+            self.posted = (name, img.shape)
+
+        class _Tuners(dict):
+            def __getitem__(self, k):
+                return 0.05
+
+        tuners = _Tuners()
+
+        def get_latency(self):
+            return 0
+
+    handler = TorpedoesOBB("torpedoes")
+    module = FakeModule()
+    handler.register(module)
+
+    board = OBBData("torpedo_board", 0, 0.9, 50, 20, 150, 20, 150, 80, 50, 80)
+    img = np.zeros((100, 200, 3), np.uint8)
+    handler.process("forward", img, [board], [], [])
+
+    group = shm.yolo_torpedoes_board
+    assert group.board_visible.get() == 1
+    assert group.board_confidence.get() == pytest.approx(0.9)
+    # board center: (100, 50) pixels -> normalized ((50-50)/200, (100-100)/200)
+    assert group.board_center_x.get() == pytest.approx(0.0)
+    assert group.board_center_y.get() == pytest.approx(0.0)
+    assert group.board_area.get() > 0
+    assert module.posted[0] == "torpedoes handler"
+
+    # below-threshold board disappears
+    weak = OBBData("torpedo_board", 0, 0.01, 0, 0, 1, 0, 1, 1, 0, 1)
+    handler.process("forward", img, [weak], [], [])
+    assert group.board_visible.get() == 0
