@@ -1,0 +1,157 @@
+"""Tests for toggler/config/misc tooling + undistort + vision_common."""
+
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from cuauv_vision_pipeline_tpu.core import shm
+from cuauv_vision_pipeline_tpu.core.config import vehicle
+from cuauv_vision_pipeline_tpu.core.module_toggler import ModuleToggler
+
+
+def test_vehicle_config_defaults():
+    assert "red_buoy" in vehicle.vision_modules
+    assert isinstance(vehicle.vision_modules["red_buoy"], list)
+
+
+def test_toggler_flag_lifecycle(tmp_path, monkeypatch):
+    monkeypatch.setenv("CUAUV_LOG", str(tmp_path))
+    toggler = ModuleToggler()
+    # use a trivial module invocation that exits immediately
+    monkeypatch.setattr(
+        ModuleToggler,
+        "_module_argv",
+        lambda self, m, s: [sys.executable, "-c", "import time; time.sleep(30)"],
+    )
+    flags = shm.vision_modules
+    flag = toggler._flag_name("red_buoy", "zed")
+    assert flag in flags.field_names()
+
+    flags.set_field(flag, True)
+    toggler.sync()
+    assert "red_buoy_zed" in toggler.running
+    pid = toggler.running["red_buoy_zed"].process.pid
+    assert pid > 0
+
+    flags.set_field(flag, False)
+    toggler.sync()
+    assert "red_buoy_zed" not in toggler.running
+
+
+def test_toggler_reaps_dead(monkeypatch, tmp_path):
+    monkeypatch.setenv("CUAUV_LOG", str(tmp_path))
+    toggler = ModuleToggler()
+    monkeypatch.setattr(
+        ModuleToggler,
+        "_module_argv",
+        lambda self, m, s: [sys.executable, "-c", "pass"],  # exits instantly
+    )
+    flag = toggler._flag_name("gate", "zed")
+    shm.vision_modules.set_field(flag, True)
+    toggler.sync()
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and "gate_zed" in toggler.running:
+        time.sleep(0.1)
+        toggler._reap()
+    assert "gate_zed" not in toggler.running
+    shm.vision_modules.set_field(flag, False)
+
+
+def test_yolo_shm_tool(tmp_path):
+    import json
+
+    from cuauv_vision_pipeline_tpu.misc import yolo_shm
+
+    weight = tmp_path / "model.msgpack"
+    weight.write_bytes(b"")
+    (tmp_path / "model.msgpack.json").write_text(
+        json.dumps({"names": ["buoy", "gate-post"]})
+    )
+    yolo_shm.main([str(weight)])
+    assert shm.group("yolo_buoy").visible.get() is False
+    shm.yolo_gate_post.confidence.set(0.5)
+    assert shm.yolo_gate_post.confidence.get() == 0.5
+    yolo_shm.main([str(weight), "--delete"])
+    assert not os.path.exists(shm.SHM_STUB + "yolo_buoy")
+
+
+def test_undistort_identity_map():
+    from cuauv_vision_pipeline_tpu.utils.undistort import (
+        init_undistort_map,
+        undistort,
+    )
+
+    params = {
+        "camera_matrix": {"fx": 100.0, "fy": 100.0, "cx": 32.0, "cy": 24.0},
+        "distortion": {},
+        "image_size": {"width": 64, "height": 48},
+    }
+    map_x, map_y = init_undistort_map(params)
+    img = np.random.default_rng(0).integers(0, 255, (48, 64, 3), np.uint8)
+    out = np.asarray(undistort(img, map_x, map_y))
+    np.testing.assert_array_equal(out, img)  # zero distortion = identity
+
+
+def test_undistort_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    from cuauv_vision_pipeline_tpu.utils.undistort import (
+        init_undistort_map,
+        undistort,
+    )
+
+    params = {
+        "camera_matrix": {"fx": 120.0, "fy": 115.0, "cx": 50.0, "cy": 40.0},
+        "distortion": {"k1": -0.2, "k2": 0.05, "p1": 0.001, "p2": -0.001},
+        "image_size": {"width": 100, "height": 80},
+    }
+    map_x, map_y = init_undistort_map(params)
+    img = np.random.default_rng(1).integers(0, 255, (80, 100, 3), np.uint8)
+    ours = np.asarray(undistort(img, map_x, map_y))
+    ref = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert (diff > 1).mean() < 0.02
+
+
+def test_vision_common_helpers():
+    cv2 = pytest.importorskip("cv2")
+    from cuauv_vision_pipeline_tpu import vision_common as VC
+
+    mask = np.zeros((60, 80), np.uint8)
+    mask[10:40, 20:60] = 255
+    contour = max(
+        cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)[0],
+        key=cv2.contourArea,
+    )
+    assert not VC.is_clipping(mask, contour)
+    assert VC.fill_ratio(mask, contour, mask) > 0.95
+    cx, cy = VC.contour_center(contour)
+    assert abs(cx - 39.5) < 2 and abs(cy - 24.5) < 2
+
+    edge = np.zeros((60, 80), np.uint8)
+    edge[0:30, 0:30] = 255
+    c2 = cv2.findContours(edge, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)[0][0]
+    assert VC.is_clipping(edge, c2)
+
+    resized = VC.resize_keep_ratio(mask, 100)
+    assert resized.shape == (100, 100)
+
+    feats = VC.extract_features(mask)
+    assert feats.shape == (7,)
+    assert feats[0] != 0
+
+
+def test_resizable_tpool():
+    from cuauv_vision_pipeline_tpu.misc.resizable_tpool import ResizableThreadPool
+
+    pool = ResizableThreadPool(2)
+    assert pool.num_threads == 2
+    assert pool.execute(lambda a, b: a + b, 2, 3) == 5
+    pool.set_num_threads(4)
+    results = [pool.submit(lambda i=i: i * i) for i in range(8)]
+    assert sorted(f.result() for f in results) == [i * i for i in range(8)]
+    pool.set_num_threads(1)
+    time.sleep(0.1)
+    assert pool.execute(len, [1, 2]) == 2
