@@ -20,8 +20,7 @@ import numpy as np
 from ..core import shm
 from ..core.base import ModuleBase, sources
 from ..core.tuners import IntTuner
-from ..engine.chains import red_buoy_chain
-from ..engine.executor import DevicePipeline
+from ..engine.chains import RedBuoyPipeline
 from ..utils.draw import Color, draw_circle, draw_rect
 
 module_tuners = [
@@ -33,7 +32,7 @@ module_tuners = [
 class BuoyLAB(ModuleBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._pipeline = DevicePipeline(red_buoy_chain)
+        self._pipeline = RedBuoyPipeline()
 
     @sources("zed[forward]", "zed[normal]")
     def process_img(self, image: np.ndarray, normal: np.ndarray):
@@ -41,6 +40,7 @@ class BuoyLAB(ModuleBase):
         tmax = np.int32(self.tuners["thresh_max"])
 
         threshed, cleaned, best = self._pipeline.run_sync(image, tmin, tmax)
+
 
         self.post("threshed", threshed, "GRAY")
         self.post("threshed_cleaned", cleaned, "GRAY")

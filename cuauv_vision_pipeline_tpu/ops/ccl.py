@@ -34,7 +34,11 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-_SENTINEL = jnp.int32(2**30)  # "no label" (background); > any raster index
+# "no label" sentinel (background); > any raster index. A plain python int:
+# a jnp scalar here becomes a captured device-constant argument of every
+# consuming jit, which (on remote-attached backends) adds a synchronous
+# host round-trip per call — measured 87 ms/frame vs 0.05 ms/frame on v5e.
+_SENTINEL = 2**30
 
 
 def _runmin_scan(labels: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -171,11 +175,19 @@ def component_stats(
     sum_y = jnp.sum(ones * idx2d_y[..., None].astype(jnp.float32), axis=(0, 1))
     sum_x = jnp.sum(ones * idx2d_x[..., None].astype(jnp.float32), axis=(0, 1))
 
-    big = jnp.int32(2**30)
-    min_y = jnp.min(jnp.where(match, idx2d_y[..., None], big), axis=(0, 1))
-    min_x = jnp.min(jnp.where(match, idx2d_x[..., None], big), axis=(0, 1))
-    max_y = jnp.max(jnp.where(match, idx2d_y[..., None], -1), axis=(0, 1))
-    max_x = jnp.max(jnp.where(match, idx2d_x[..., None], -1), axis=(0, 1))
+    # Bounding boxes from row/col projections collapsed with FLOAT sums
+    # (f32 sum-reductions lower to the fast VPU path; bool any() and masked
+    # int min/max over [H, W, K] measure ~150x slower on v5e), then the
+    # extrema reduce tiny [H, K]/[W, K] arrays.
+    big = _SENTINEL  # python int: avoid captured device constants (see top)
+    row_has = jnp.sum(ones, axis=1) > 0  # [H, K]
+    col_has = jnp.sum(ones, axis=0) > 0  # [W, K]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, row_has.shape, 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, col_has.shape, 0)
+    min_y = jnp.min(jnp.where(row_has, row_ids, big), axis=0)
+    max_y = jnp.max(jnp.where(row_has, row_ids, -1), axis=0)
+    min_x = jnp.min(jnp.where(col_has, col_ids, big), axis=0)
+    max_x = jnp.max(jnp.where(col_has, col_ids, -1), axis=0)
 
     area = area_f.astype(jnp.int32)
     valid = jnp.logical_and(area > 0, roots < _SENTINEL)
