@@ -57,7 +57,7 @@ class Synthetic(CaptureSource):
         scene: str = "buoy",
     ):
         super().__init__()
-        assert scene in ("buoy",), f"unknown scene {scene}"
+        assert scene in ("buoy", "zed"), f"unknown scene {scene}"
 
         def udl(limiter: FpsLimiter, args):
             k = 0
@@ -66,7 +66,28 @@ class Synthetic(CaptureSource):
                 k += 1
                 yield (direction, t, frame)
 
-        self.register_capture_udl(f"synthetic:{direction}", udl)
+        def zed_udl(limiter: FpsLimiter, args):
+            """Fake ZED: the production aggregated 4-plane layout
+            (forward/forward2/depth/normal — reference zed.cpp:139-214),
+            so zed-consuming modules run unmodified on a dev machine
+            (the reference's fake-backend substitution strategy,
+            SURVEY.md §4)."""
+            depth = np.full((height, width, 1), 2.0, np.float32)
+            normal = np.full((height, width, 3), 0.5, np.float32)
+            k = 0
+            for t in limiter.rate(fps):
+                frame = buoy_frame((height, width), k / max(fps, 1))
+                k += 1
+                yield (
+                    direction,
+                    t,
+                    (frame, frame, depth, normal),
+                    ("forward", "forward2", "depth", "normal"),
+                )
+
+        self.register_capture_udl(
+            f"synthetic:{direction}", zed_udl if scene == "zed" else udl
+        )
 
 
 def main(argv=None) -> None:
