@@ -10,7 +10,6 @@ into one direction. This is the primary test fixture / benchmark feeder
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 from typing import List
 

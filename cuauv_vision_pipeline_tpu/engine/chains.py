@@ -76,6 +76,49 @@ def grayscale_post_chain(image: jnp.ndarray) -> jnp.ndarray:
     return C.gray_to_bgr(C.bgr_to_gray(image))
 
 
+class HsvMaskPipeline:
+    """The bins-module hot path in the same three-dispatch structure as
+    RedBuoyPipeline: HSV inRange + open morphology fused, the Pallas CCL
+    kernel, then component stats (reference modules/bins.py:10-81)."""
+
+    def __init__(self, lower, upper, kernel_size: int = 5,
+                 max_components: int = 32):
+        import numpy as np
+
+        from ..ops.pallas.ccl_kernel import label_pallas
+
+        kernel = M.rect_kernel(kernel_size)
+        lower = np.asarray(lower, np.uint8)
+        upper = np.asarray(upper, np.uint8)
+
+        @jax.jit
+        def mask_and_clean(image):
+            hsv = C.bgr_to_hsv(image)
+            mask = T.in_range(hsv, lower, upper)
+            cleaned = M.open_morph(mask, kernel)
+            return mask, cleaned
+
+        @jax.jit
+        def stats(labels):
+            return ccl.component_stats(labels, max_components)
+
+        self._mask_and_clean = mask_and_clean
+        self._label = label_pallas
+        self._stats = stats
+
+    def run_sync(self, image):
+        import numpy as np
+
+        mask, cleaned = self._mask_and_clean(image)
+        labels = self._label(cleaned)
+        stats = self._stats(labels)
+        return (
+            np.asarray(mask),
+            np.asarray(cleaned),
+            jax.tree.map(np.asarray, stats),
+        )
+
+
 class RedBuoyPipeline:
     """The red_buoy hot path split into exactly three device dispatches.
 
@@ -92,8 +135,6 @@ class RedBuoyPipeline:
     """
 
     def __init__(self, max_components: int = 8):
-        from functools import partial
-
         from ..ops.pallas.ccl_kernel import label_pallas
 
         kernel = M.rect_kernel(5)

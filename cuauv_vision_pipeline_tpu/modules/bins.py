@@ -16,8 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.base import ModuleBase
-from ..engine.chains import hsv_mask_chain
-from ..engine.executor import DevicePipeline
+from ..engine.chains import HsvMaskPipeline
 from ..utils.draw import Color, draw_polylines
 from ..utils.feature import min_enclosing_rect, outer_contours
 
@@ -42,9 +41,7 @@ def box_points(rect) -> np.ndarray:
 class BinDetector(ModuleBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._pipeline = DevicePipeline(
-            lambda img: hsv_mask_chain(img, LOWER_BEIGE, UPPER_BEIGE)
-        )
+        self._pipeline = HsvMaskPipeline(LOWER_BEIGE, UPPER_BEIGE)
 
     def process(self, direction, img):
         mask, cleaned, _stats = self._pipeline.run_sync(img)

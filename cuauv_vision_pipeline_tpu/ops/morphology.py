@@ -14,7 +14,7 @@ semantics match cv2's default BORDER_CONSTANT with the morphology identity
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ kernel to float tolerance (mask flips only possible for ties).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

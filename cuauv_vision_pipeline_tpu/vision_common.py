@@ -11,7 +11,6 @@ from __future__ import annotations
 import io
 import math
 import os
-import sys
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
