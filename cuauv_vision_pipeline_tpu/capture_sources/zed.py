@@ -51,8 +51,13 @@ def _postprocess_fn():
 
 
 class ZedSource(CaptureSource):
-    def __init__(self, direction: str = "zed"):
+    def __init__(self, direction: str = "zed", split_directions: bool = False):
+        """split_directions=True publishes forward2/forward/depth/normal as
+        four independent blocks instead of one aggregated 4-plane frame (the
+        reference's zed_sync variant, zed_sync.py:146-149); the aggregated
+        layout is the production scheme (zed.cpp:29-34)."""
         super().__init__()
+        self._split = split_directions
         try:
             import pyzed.sl as sl
         except ImportError as e:
@@ -136,7 +141,14 @@ class ZedSource(CaptureSource):
 
             # overlap: postprocess slot N while the SDK fills slot N+1
             if pending is not None:
-                yield pending.result()
+                result = pending.result()
+                if self._split:
+                    _, t_prev, frames, names = result
+                    for plane, name in zip(frames, names):
+                        yield (name if name != "forward2" else "forward2",
+                               t_prev, plane)
+                else:
+                    yield result
             pending = executor.submit(process, m, t_ms)
             slot ^= 1
 
@@ -161,7 +173,13 @@ class ZedSource(CaptureSource):
             bench.maybe_report(lambda msg: logger(msg, True))
 
         if pending is not None:
-            yield pending.result()
+            result = pending.result()
+            if self._split:
+                _, t_prev, frames, names = result
+                for plane, name in zip(frames, names):
+                    yield (name, t_prev, plane)
+            else:
+                yield result
 
     # -- calibration watcher ------------------------------------------------
 
@@ -194,8 +212,14 @@ def main(argv=None) -> None:
 
     parser = argparse.ArgumentParser(description="ZED stereo capture source")
     parser.add_argument("direction", nargs="?", default="zed")
+    parser.add_argument(
+        "--split-directions",
+        action="store_true",
+        help="publish 4 separate blocks instead of one aggregated frame "
+        "(the reference's zed_sync scheme)",
+    )
     args = parser.parse_args(argv)
-    ZedSource(args.direction).run_event_loop()
+    ZedSource(args.direction, args.split_directions).run_event_loop()
 
 
 if __name__ == "__main__":
