@@ -1,0 +1,75 @@
+"""YOLO module end-to-end: fwd_process with the real predictor and handlers."""
+
+import numpy as np
+import pytest
+
+from cuauv_vision_pipeline_tpu.core import shm
+
+
+def _make_module():
+    """Construct Yolo without argparse/bus plumbing."""
+    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
+    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+    from cuauv_vision_pipeline_tpu.modules import yolo as Y
+
+    module = object.__new__(Y.Yolo)
+    posts = {}
+    module.post = lambda name, img, cs="BGR": posts.__setitem__(name, img.shape)
+    module._performance_enabled = False
+    values = {t.name: 0.05 for t in Y.TUNERS}
+
+    class Tuners(dict):
+        def __getitem__(self, k):
+            return values[k]
+
+    module._module_manager = Tuners()
+    module.normalize = lambda c: (c[0] / 640 - 0.5, c[1] / 640 - 0.5)
+    module.normalize_axis = lambda c, a: c / 640 - 0.5
+    module.get_latency = lambda: 0
+
+    HandlerMixin.__init__(module, Y.HANDLERS)
+    module.model = YoloModel(None, task="obb", image_size=160, conf_thresh=0.0,
+                             max_det=8)
+    module.yolo_model_type = module.model.task
+    module.map_fn = MAP_FN[module.yolo_model_type]
+    return module, posts
+
+
+def test_fwd_process_dispatches_all_active_handlers():
+    module, posts = _make_module()
+    for flag in (
+        "yolo_torpedoes_board", "yolo_slalom", "yolo_gate",
+        "yolo_gate_behind", "yolo_bins", "yolo_manipulator",
+    ):
+        shm.active_objects.set_field(flag, True)
+        shm.active_objects.set_field(f"{flag}_direction", "forward")
+
+    img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+    module.fwd_process(img)
+
+    # every active handler posted (either detections or nothing found, but
+    # the handler ran and posted its annotated view)
+    assert "original image" in posts
+    for name in ("torpedoes", "slalom", "gate", "gate behind", "bins",
+                 "manipulator"):
+        assert any(name in key for key in posts), (name, list(posts))
+
+
+def test_inactive_detector_posts_grayscale():
+    module, posts = _make_module()
+    shm.active_objects.set_field("yolo_gate", False)
+    shm.active_objects.set_field("yolo_gate_direction", "forward")
+    img = np.random.default_rng(1).integers(0, 255, (160, 160, 3), np.uint8)
+    module.fwd_process(img)
+    assert any("gate handler" in k for k in posts)  # the grayscale fallback
+    shm.active_objects.set_field("yolo_gate", True)
+
+
+def test_wrong_direction_skips_handler():
+    module, posts = _make_module()
+    shm.active_objects.set_field("yolo_bins_direction", "downward")
+    img = np.random.default_rng(2).integers(0, 255, (160, 160, 3), np.uint8)
+    module.fwd_process(img)
+    assert not any("bins" in k for k in posts)
+    shm.active_objects.set_field("yolo_bins_direction", "forward")
