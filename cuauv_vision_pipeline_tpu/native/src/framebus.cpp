@@ -280,8 +280,13 @@ int Bus::write(std::uint64_t acquisition_time, const PlaneWrite* planes,
                     align_up(_header->max_entry_size, 128);
 
     // Seqlock write: odd seq covers BOTH metadata and data mutation.
+    // Forcing the begin value odd (rather than assuming seq0 is even) makes
+    // the protocol self-healing after a writer crashed mid-write and left
+    // the slot odd: the successor re-odds, finishes even, and readers see a
+    // consistent published slot again.
     const std::uint64_t seq0 = slot.seq.load(std::memory_order_relaxed);
-    slot.seq.store(seq0 + 1, std::memory_order_release);
+    const std::uint64_t seq_begin = (seq0 + 1) | 1ull;
+    slot.seq.store(seq_begin, std::memory_order_release);
     std::atomic_thread_fence(std::memory_order_release);
 
     slot.uid = uid;
@@ -306,7 +311,7 @@ int Bus::write(std::uint64_t acquisition_time, const PlaneWrite* planes,
     }
 
     std::atomic_thread_fence(std::memory_order_release);
-    slot.seq.store(seq0 + 2, std::memory_order_release);
+    slot.seq.store(seq_begin + 1, std::memory_order_release);
 
     // Publish, then wake any blocked readers.
     _header->latest_uid.store(uid, std::memory_order_release);
