@@ -106,9 +106,9 @@ def find_line_segments(
         # project near pixels onto the line direction (-b, a)
         t = xs[near] * (-b) + ys[near] * a
         order = np.argsort(t)
-        tx, px, py = t[near][order] if False else (
-            t[order], xs[near][order], ys[near][order]
-        )
+        tx = t[order]
+        px = xs[near][order]
+        py = ys[near][order]
         start = 0
         for i in range(1, len(tx) + 1):
             if i == len(tx) or tx[i] - tx[i - 1] > max_line_gap:
