@@ -145,8 +145,7 @@ class ZedSource(CaptureSource):
                 if self._split:
                     _, t_prev, frames, names = result
                     for plane, name in zip(frames, names):
-                        yield (name if name != "forward2" else "forward2",
-                               t_prev, plane)
+                        yield (name, t_prev, plane)
                 else:
                     yield result
             pending = executor.submit(process, m, t_ms)

@@ -256,3 +256,20 @@ def test_block_file_uses_reference_prefix(unique_direction):
     with BlockAccessor(unique_direction, 64):
         assert os.path.exists(BLOCK_STUB + unique_direction)
     assert not os.path.exists(BLOCK_STUB + unique_direction)
+
+
+def test_native_selftest_binary():
+    """Build and run the C++ self-test (seqlock hammer etc. at the native
+    layer, no Python in the loop)."""
+    import subprocess
+    from pathlib import Path
+
+    native = Path(__file__).resolve().parent.parent / (
+        "cuauv_vision_pipeline_tpu/native"
+    )
+    result = subprocess.run(
+        ["make", "-s", "test"], cwd=native, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "all native tests passed" in result.stdout
