@@ -311,6 +311,8 @@ class ModuleReader:
     edits back (the WebGUI side of the bus)."""
 
     def __init__(self, module_name: str):
+        # set before any raise so __del__ is safe on failed construction
+        self._thread: Optional[threading.Thread] = None
         if module_name not in ModuleReader.get_active_modules():
             raise RuntimeError("Module name is not active")
 
@@ -319,7 +321,6 @@ class ModuleReader:
         self._post_name = f"{self._module_name}_post%"
         self._tune_name = f"{self._module_name}_tune%"
         self._quit_flag = threading.Event()
-        self._thread: Optional[threading.Thread] = None
 
         self._post_udls: List[Callable[[str, str, int, np.ndarray, str], None]] = []
         self._tuner_udls: List[Callable[[str, str, int, TunerBase], None]] = []

@@ -33,6 +33,11 @@ class BuoyLAB(ModuleBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._pipeline = RedBuoyPipeline()
+        # fresh results on startup: stale values from a previous run must
+        # not read as a live detection
+        shm.red_buoy_results.set(
+            visible=False, center_x=0.0, center_y=0.0, area=0.0
+        )
 
     @sources("zed[forward]", "zed[normal]")
     def process_img(self, image: np.ndarray, normal: np.ndarray):

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Quickstart: the whole pipeline in one script.
+
+Launches a synthetic ZED-layout camera, the red_buoy detection module, and
+the web viewer as separate OS processes (the production topology), tunes the
+threshold live, prints detections, then shuts everything down.
+
+    python examples/quickstart.py [--seconds 30] [--port 8080]
+
+Open http://localhost:<port> while it runs to watch the debug posts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def spawn(*module_and_args: str) -> subprocess.Popen:
+    return subprocess.Popen([sys.executable, "-m", *module_and_args])
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seconds", type=float, default=30.0)
+    parser.add_argument("--port", type=int, default=8080)
+    args = parser.parse_args()
+
+    procs = [
+        spawn(
+            "cuauv_vision_pipeline_tpu.capture_sources.synthetic",
+            "zed", "--scene", "zed", "--fps", "10",
+        ),
+        spawn("cuauv_vision_pipeline_tpu.modules.red_buoy", "zed"),
+        spawn(
+            "cuauv_vision_pipeline_tpu.misc.web_viewer",
+            "--port", str(args.port),
+        ),
+    ]
+    print(f"pipeline up; GUI at http://localhost:{args.port}")
+    print("(first TPU compile may take a minute on a cold cache)")
+
+    try:
+        from cuauv_vision_pipeline_tpu.core import shm
+        from cuauv_vision_pipeline_tpu.core.base import ModuleReader
+
+        tuned = False
+        deadline = time.monotonic() + args.seconds
+        while time.monotonic() < deadline:
+            time.sleep(2)
+            results = shm.red_buoy_results.get()
+            print(
+                f"red_buoy: visible={results.visible} "
+                f"area={results.area:.0f} "
+                f"center=({results.center_x:+.3f}, {results.center_y:+.3f})"
+            )
+            if not tuned and results.visible:
+                # live-tune the threshold so only the red disc passes
+                try:
+                    reader = ModuleReader("BuoyLAB-on-zed")
+                    reader.run_forever()
+                    reader.update_tuner_value("thresh_min", 140)
+                    reader.unblock()
+                    tuned = True
+                    print(">> tuned thresh_min=140 (isolating the buoy)")
+                except RuntimeError:
+                    pass
+    finally:
+        import signal
+
+        for proc in procs:
+            proc.send_signal(signal.SIGINT)
+        for proc in procs:
+            proc.wait(timeout=15)
+        print("clean shutdown")
+
+
+if __name__ == "__main__":
+    main()
