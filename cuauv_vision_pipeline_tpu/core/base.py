@@ -475,7 +475,8 @@ class ModuleReader:
                 "underlying resources"
             )
             self._quit_flag.set()
-            self._thread.join()
+            if self._thread is not threading.current_thread():
+                self._thread.join()
 
 
 # ---------------------------------------------------------------------------

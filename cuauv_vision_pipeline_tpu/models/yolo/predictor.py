@@ -95,8 +95,13 @@ class YoloModel:
         image_size: int = 640,
         conf_thresh: float = 0.25,
         max_det: int = 32,
+        half_precision: bool = True,
     ):
+        """half_precision runs the conv stack in bfloat16 on the MXU (params
+        cast at trace time; decode stays f32) — the production inference
+        mode; set False for exact-f32 debugging."""
         self.image_size = image_size
+        self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
         self._tracker = _IouTracker()
@@ -116,10 +121,24 @@ class YoloModel:
 
         model = self.model
         reg_max = model.reg_max
+        half = self.half_precision
 
         def forward(variables, image_u8):
+            import jax.numpy as jnp
+
             x = preprocess(image_u8[None], self.image_size)
+            if half:
+                x = x.astype(jnp.bfloat16)
+                variables = jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if jnp.issubdtype(p.dtype, jnp.floating)
+                    else p,
+                    variables,
+                )
             outputs = model.apply(variables, x)
+            outputs = jax.tree.map(
+                lambda o: o.astype(jnp.float32), outputs
+            )
             return decode(
                 outputs,
                 self.image_size,
