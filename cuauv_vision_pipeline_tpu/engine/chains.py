@@ -123,15 +123,14 @@ class RedBuoyPipeline:
     """The red_buoy hot path split into exactly three device dispatches.
 
     Per-op eager dispatch is expensive on a remote-attached TPU (tens of ms
-    per call through the transport); the hot path is two cached executables
-    chained without host syncs:
+    per call through the transport); the whole hot path is ONE cached
+    executable — colorspace -> inRange -> open/close morphology -> the
+    Pallas strip-CCL kernel -> blob reductions -> argmax — with the tuner
+    thresholds as traced scalars (live tuning never recompiles; the full
+    graph compiles in ~15 s and is persisted in the jax compilation cache).
 
-        1. mask+morphology   (colorspace -> inRange -> open/close, fused)
-        2. label+stats+argmax (the Pallas strip-CCL kernel + blob reductions
-                               fused in one jit)
-
-    Steady state on one v5e chip: ~0.04 ms/frame at 1080p device-resident
-    (~26,000 fps).
+    Steady state on one v5e chip: 0.04-0.08 ms/frame at 1080p
+    device-resident (13,000-26,000 fps across runs).
     """
 
     def __init__(self, max_components: int = 8):
@@ -140,26 +139,22 @@ class RedBuoyPipeline:
         kernel = M.rect_kernel(5)
 
         @jax.jit
-        def mask_and_clean(image, tmin, tmax):
+        def one_shot(image, tmin, tmax):
             lab = C.bgr_to_lab(image)
             threshed = T.in_range(lab[..., 1], tmin, tmax)
             cleaned = M.close_morph(M.open_morph(threshed, kernel), kernel)
-            return threshed, cleaned
-
-        @jax.jit
-        def label_and_best(threshed):
             labels = label_pallas(threshed)
             stats = ccl.component_stats(labels, max_components)
             i = jnp.argmax(stats["area"])
-            return {
+            best = {
                 "area": stats["area"][i],
                 "centroid": stats["centroid"][i],
                 "bbox": stats["bbox"][i],
                 "found": stats["valid"][i],
             }
+            return threshed, cleaned, best
 
-        self._mask_and_clean = mask_and_clean
-        self._label_and_best = label_and_best
+        self._one_shot = one_shot
 
     def __call__(self, image, tmin, tmax):
         """Returns (threshed, cleaned, best) as device arrays (async)."""
@@ -167,9 +162,7 @@ class RedBuoyPipeline:
         return threshed, cleaned, best
 
     def run_async(self, image, tmin, tmax):
-        threshed, cleaned = self._mask_and_clean(image, tmin, tmax)
-        best = self._label_and_best(threshed)
-        return threshed, cleaned, best
+        return self._one_shot(image, tmin, tmax)
 
     def run_sync(self, image, tmin, tmax):
         import numpy as np
