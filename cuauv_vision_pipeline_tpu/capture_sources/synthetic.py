@@ -10,12 +10,26 @@ exercises the red_buoy chain end to end.
 from __future__ import annotations
 
 import argparse
+import functools
 import math
 from typing import Tuple
 
 import numpy as np
 
 from ..core.capture_source import CaptureSource, FpsLimiter
+
+
+@functools.lru_cache(maxsize=4)
+def _backdrop(shape: Tuple[int, int], seed: int) -> np.ndarray:
+    """Static teal noise backdrop (cached; regenerating 2M random pixels per
+    frame would dominate the source's frame budget)."""
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 90, (h, w, 3), dtype=np.uint8)
+    base[..., 0] = np.clip(base[..., 0].astype(np.int32) + 40, 0, 255)  # blue
+    base[..., 1] = np.clip(base[..., 1].astype(np.int32) + 70, 0, 255)  # green
+    base.setflags(write=False)
+    return base
 
 
 def buoy_frame(
@@ -30,10 +44,7 @@ def buoy_frame(
     neutral (green = negative a*), leaving the red disc (a* >> 128) cleanly
     separable by the red_buoy threshold chain."""
     h, w = shape
-    rng = np.random.default_rng(seed)
-    base = rng.integers(40, 90, (h, w, 3), dtype=np.uint8)
-    base[..., 0] = np.clip(base[..., 0].astype(np.int32) + 40, 0, 255)  # blue
-    base[..., 1] = np.clip(base[..., 1].astype(np.int32) + 70, 0, 255)  # green
+    base = _backdrop(shape, seed)
 
     cy = h / 2 + 0.3 * h * math.sin(t * 0.7)
     cx = w / 2 + 0.3 * w * math.cos(t * 0.9)
