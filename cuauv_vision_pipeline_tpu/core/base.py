@@ -64,6 +64,7 @@ from .bindings.frame_bus import (
     ReadStatus,
 )
 from .log import Logger, log as auvlog
+from .trace import tracer
 from .tuners import BoolTuner, DoubleTuner, IntTuner, TunerBase
 
 VALID_COLOR_SPACES = ("BGR", "RGB", "HSV", "LAB", "HLS", "YCRCB", "LUV", "GRAY")
@@ -757,7 +758,8 @@ class ModuleBase(ABC):
             tick_start = time.monotonic()
 
             try:
-                video_messages = self._module_manager.read_messages()
+                with tracer.span("read_messages"):
+                    video_messages = self._module_manager.read_messages()
             except RuntimeError as e:
                 logger(f"Error: {e}", True)
                 quit_flag.set()
@@ -808,9 +810,11 @@ class ModuleBase(ABC):
                     )
                 if not missing and any(a in updated_aliases for a in aliases):
                     imgs = [frame_cache[a][0] for a in aliases]
-                    handler(*imgs)
+                    with tracer.span("handler", fn=handler.__name__):
+                        handler(*imgs)
 
-            self._drain_post_queue()
+            with tracer.span("drain_posts", n=len(self._post_queue)):
+                self._drain_post_queue()
             time.sleep(max((1 / self._fps) - (time.monotonic() - tick_start), 0))
 
     def _plane_aliases_for(self, message: VideoMessage) -> Tuple[str, ...]:

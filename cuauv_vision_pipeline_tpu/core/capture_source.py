@@ -39,6 +39,7 @@ from numpy import ndarray
 
 from .bindings.frame_bus import BlockAccessor
 from .log import Logger, log as auvlog
+from .trace import tracer
 
 
 class FpsLimiter:
@@ -241,6 +242,7 @@ class CaptureSource:
         payload: Union[
             ndarray, Tuple[ndarray, ...], Tuple[Tuple[str, ndarray], ...]
         ]
+        tracer.instant("frame", direction=direction, t=acquisition_time)
         if names is not None:
             if len(names) != len(planes):
                 raise ValueError(

@@ -155,3 +155,31 @@ def test_resizable_tpool():
     pool.set_num_threads(1)
     time.sleep(0.1)
     assert pool.execute(len, [1, 2]) == 2
+
+
+def test_tracer_spans_and_dump(tmp_path):
+    from cuauv_vision_pipeline_tpu.core.trace import Tracer
+
+    tracer = Tracer()
+    with tracer.span("noop_while_disabled"):
+        pass
+    assert tracer.dump(str(tmp_path / "empty.json")) is None
+
+    tracer.enable()
+    with tracer.span("stage_a", frame=1):
+        time.sleep(0.002)
+    tracer.instant("detection", area=42)
+    tracer.counter("fps", value=30.0)
+    path = tracer.dump(str(tmp_path / "trace.json"))
+    assert path is not None
+
+    import json
+
+    events = json.load(open(path))["traceEvents"]
+    assert len(events) == 3
+    span = next(e for e in events if e["ph"] == "X")
+    assert span["name"] == "stage_a"
+    assert span["dur"] >= 2000  # microseconds
+    assert span["args"] == {"frame": 1}
+    assert any(e["ph"] == "i" for e in events)
+    assert any(e["ph"] == "C" for e in events)
