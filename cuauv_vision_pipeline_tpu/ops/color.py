@@ -10,8 +10,10 @@ tests/test_ops_color.py):
 
 * ``bgr_to_gray``, ``bgr_to_hsv``, ``bgr_to_ycrcb``, ``bgr_to_lab`` —
   **bit-exact** vs OpenCV's u8 fixed-point pipelines.
-* ``bgr_to_hls`` — L and S bit-exact; H may differ by 1 for ~0.02% of colors
-  (OpenCV's AVX2 path uses fused multiply-add; XLA may or may not fuse).
+* ``bgr_to_hls`` — L bit-exact everywhere; on CPU S is also bit-exact and H
+  differs by 1 for ~0.02% of colors; on TPU both S and H can differ by 1 for
+  ~0.05% of colors (the VPU's FMA contraction and reciprocal-based division
+  round differently from OpenCV's AVX2 path).
 * ``bgr_to_luv`` and the ``*_to_bgr`` inverses — float paths,
   tolerance-matched (OpenCV's own u8 LUV uses interpolated LUTs).
 """
