@@ -5,8 +5,9 @@ modules/yolo.py:49-58, 113-116): construct from a weight path (or task +
 class names), ``.task``, ``.to(device)`` no-op, and ``.track(image)``
 returning objects whose ``.summary()`` yields the dicts MAP_FN parses —
 but the forward + decode + NMS runs as one jitted TPU graph, and tracking
-is a light host-side IoU tracker (the reference's ByteTrack use is hidden
-behind ``model.track``; track ids only need to be stable per target).
+is a host-side ByteTrack-equivalent (tracker.py: Kalman constant-velocity
+filter + two-stage high/low-score Hungarian association) matching the
+tracker the reference gets implicitly from ``model.track``.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import numpy as np
 
 from .decode import decode, summarize
 from .model import YOLO, create_model, preprocess
+from .tracker import ByteTracker
 from .weights import load_checkpoint
 
 DEFAULT_CLASS_NAMES = [
@@ -39,48 +41,6 @@ class _Result:
 
     def summary(self) -> List[Dict]:
         return self._summary
-
-
-class _IouTracker:
-    """Greedy IoU track-id assignment (host side, per class)."""
-
-    def __init__(self, iou_thresh: float = 0.3, max_age: int = 30):
-        self.iou_thresh = iou_thresh
-        self.max_age = max_age
-        self.tracks: List[dict] = []
-        self.next_id = 1
-
-    @staticmethod
-    def _iou(a, b) -> float:
-        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
-        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
-        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
-        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
-        return inter / ua if ua > 0 else 0.0
-
-    def update(self, detections: List[Dict]) -> None:
-        for t in self.tracks:
-            t["age"] += 1
-        for det in detections:
-            box = det["box"]
-            xs = [v for k, v in box.items() if k.startswith("x")]
-            ys = [v for k, v in box.items() if k.startswith("y")]
-            aabb = (min(xs), min(ys), max(xs), max(ys))
-            best, best_iou = None, self.iou_thresh
-            for t in self.tracks:
-                if t["class"] != det["class"]:
-                    continue
-                iou = self._iou(aabb, t["aabb"])
-                if iou > best_iou:
-                    best, best_iou = t, iou
-            if best is None:
-                best = {"id": self.next_id, "class": det["class"]}
-                self.next_id += 1
-                self.tracks.append(best)
-            best["aabb"] = aabb
-            best["age"] = 0
-            det["track_id"] = best["id"]
-        self.tracks = [t for t in self.tracks if t["age"] <= self.max_age]
 
 
 class YoloModel:
@@ -104,7 +64,7 @@ class YoloModel:
         self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
-        self._tracker = _IouTracker()
+        self._tracker = ByteTracker()
 
         if weight_path and os.path.exists(weight_path):
             self.model, self.variables, meta = load_checkpoint(weight_path)

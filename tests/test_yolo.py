@@ -174,3 +174,115 @@ def test_torpedoes_handler_writes_shm():
     weak = OBBData("torpedo_board", 0, 0.01, 0, 0, 1, 0, 1, 1, 0, 1)
     handler.process("forward", img, [weak], [], [])
     assert group.board_visible.get() == 0
+
+# ── ByteTrack-equivalent tracker ─────────────────────────────────────────
+
+
+def _det(x1, y1, x2, y2, conf=0.9, cls=0):
+    return {
+        "class": cls,
+        "confidence": conf,
+        "box": {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
+    }
+
+
+def test_tracker_stable_id_moving_target():
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker()
+    ids = []
+    for step in range(10):
+        d = _det(10 + 3 * step, 20, 60 + 3 * step, 70)
+        tr.update([d])
+        ids.append(d["track_id"])
+    assert ids[0] is not None
+    assert all(i == ids[0] for i in ids)
+
+
+def test_tracker_low_score_keeps_id():
+    """The 'byte' property: a low-confidence frame mid-sequence doesn't
+    break the track — the second association round picks it up."""
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker(track_thresh=0.5)
+    d0 = _det(10, 10, 50, 50, conf=0.9)
+    tr.update([d0])
+    tid = d0["track_id"]
+    assert tid is not None
+
+    d_low = _det(12, 11, 52, 51, conf=0.2)  # occluded/blurred frame
+    tr.update([d_low])
+    assert d_low["track_id"] == tid
+
+    d2 = _det(14, 12, 54, 52, conf=0.9)
+    tr.update([d2])
+    assert d2["track_id"] == tid
+
+
+def test_tracker_low_score_never_starts_track():
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker(track_thresh=0.5)
+    d = _det(10, 10, 50, 50, conf=0.3)
+    tr.update([d])
+    assert d["track_id"] is None
+    assert tr.tracks == []
+
+
+def test_tracker_survives_occlusion_gap():
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker(track_buffer=30)
+    d0 = _det(100, 100, 160, 180, conf=0.9)
+    tr.update([d0])
+    tid = d0["track_id"]
+    for _ in range(5):  # fully occluded: no detections at all
+        tr.update([])
+    d1 = _det(104, 102, 164, 182, conf=0.9)
+    tr.update([d1])
+    assert d1["track_id"] == tid
+
+
+def test_tracker_new_target_new_id_and_class_gate():
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker()
+    a = _det(10, 10, 50, 50, cls=0)
+    tr.update([a])
+    # same place, different class: must NOT inherit the id
+    b = _det(10, 10, 50, 50, cls=1)
+    far = _det(200, 200, 250, 250, cls=0)
+    tr.update([b, far])
+    assert b["track_id"] not in (None, a["track_id"])
+    assert far["track_id"] not in (None, a["track_id"], b["track_id"])
+
+
+def test_tracker_two_targets_no_id_swap():
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker()
+    left = _det(0, 0, 40, 40)
+    right = _det(100, 0, 140, 40)
+    tr.update([left, right])
+    lid, rid = left["track_id"], right["track_id"]
+    assert lid != rid
+    for step in range(1, 8):  # approach each other but never cross
+        l2 = _det(0 + 4 * step, 0, 40 + 4 * step, 40)
+        r2 = _det(100 - 4 * step, 0, 140 - 4 * step, 40)
+        tr.update([r2, l2])  # order shuffled on purpose
+        assert l2["track_id"] == lid
+        assert r2["track_id"] == rid
+
+
+def test_tracker_obb_corner_boxes():
+    from cuauv_vision_pipeline_tpu.models.yolo.tracker import ByteTracker
+
+    tr = ByteTracker()
+    d = {
+        "class": 0,
+        "confidence": 0.9,
+        "box": {"x1": 10, "y1": 10, "x2": 50, "y2": 12,
+                "x3": 48, "y3": 52, "x4": 8, "y4": 50},
+    }
+    tr.update([d])
+    assert d["track_id"] is not None
