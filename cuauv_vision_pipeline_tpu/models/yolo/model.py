@@ -177,8 +177,12 @@ class YOLO(nn.Module):
         if self.task == "pose":
             outputs["kpts"] = []
 
+        # branch widths follow ultralytics v8 Detect/OBB/Pose so real .pt
+        # checkpoints map tensor-for-tensor (weights.py)
         box_ch = max(16, ch(256) // 4, 4 * self.reg_max)
         cls_ch = max(ch(256), min(self.num_classes, 100))
+        ang_ch = max(ch(256) // 4, 1)
+        kpt_ch = max(ch(256) // 4, 3 * self.num_keypoints)
 
         for i, feat in enumerate((n3, n4b, n5)):
             b = ConvBnSilu(box_ch, 3, name=f"box_conv1_{i}")(feat, train)
@@ -194,12 +198,14 @@ class YOLO(nn.Module):
             )
 
             if self.task == "obb":
-                a = ConvBnSilu(box_ch, 3, name=f"ang_conv_{i}")(feat, train)
+                a = ConvBnSilu(ang_ch, 3, name=f"ang_conv1_{i}")(feat, train)
+                a = ConvBnSilu(ang_ch, 3, name=f"ang_conv2_{i}")(a, train)
                 outputs["angle"].append(
                     nn.Conv(1, (1, 1), name=f"ang_out_{i}")(a)
                 )
             if self.task == "pose":
-                k = ConvBnSilu(box_ch, 3, name=f"kpt_conv_{i}")(feat, train)
+                k = ConvBnSilu(kpt_ch, 3, name=f"kpt_conv1_{i}")(feat, train)
+                k = ConvBnSilu(kpt_ch, 3, name=f"kpt_conv2_{i}")(k, train)
                 outputs["kpts"].append(
                     nn.Conv(3 * self.num_keypoints, (1, 1), name=f"kpt_out_{i}")(k)
                 )

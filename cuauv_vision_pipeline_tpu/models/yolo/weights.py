@@ -5,21 +5,63 @@ Two formats:
 * native ``.msgpack`` checkpoints (flax serialization) with a JSON sidecar
   of task/class names — what train.py writes;
 * ultralytics ``.pt`` weights (the reference's obb_v14.pt,
-  modules/yolo.py:17): the torch (CPU) state dict is read and mapped onto
-  the flax module tree where layer shapes line up. Mapping covers the
-  Conv/BN backbone+neck tensors; mismatched heads fall back to init.
+  modules/yolo.py:17): the torch (CPU) state dict is mapped onto the flax
+  tree BY NAME — every Conv kernel, BN scale/bias/running stats, and head
+  conv/bias lands on its counterpart (model.py mirrors the v8 layer order
+  and branch widths precisely so the correspondence is total).  The same
+  table runs in reverse (``export_ultralytics_state``), which is also how
+  the mapping is validated: flax -> torch-names -> flax round-trips to the
+  identical tree (tests/test_yolo.py).
+
+Layer correspondence (ultralytics yolov8*.yaml index -> flax module):
+
+    0..9   backbone Conv/C2f/SPPF      -> ConvBnSilu_0..4, C2f_0..3, SPPF_0
+    12,15  neck top-down C2f           -> C2f_4, C2f_5
+    16,19  neck bottom-up downsamples  -> ConvBnSilu_5, ConvBnSilu_6
+    18,21  neck bottom-up C2f          -> C2f_6, C2f_7
+    22     Detect/OBB/Pose head        -> {box,cls,ang,kpt}_{conv1,conv2,out}_{s}
+
+Within a Conv module: ``.conv.weight`` (OIHW) <-> ``Conv_0/kernel`` (HWIO),
+``.bn.{weight,bias,running_mean,running_var}`` <->
+``BatchNorm_0/{scale,bias,mean,var}``.  The DFL conv (a frozen arange used
+by ultralytics' decode) has no flax counterpart — decode.py computes the
+DFL expectation arithmetically.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import numpy as np
 
 from .model import YOLO, create_model
+
+# ultralytics yolov8 yaml index for every parameterized non-head layer,
+# keyed by the flax auto-name it lands on (call order in model.py).
+_BACKBONE_IDX = {
+    "ConvBnSilu_0": 0,
+    "ConvBnSilu_1": 1,
+    "C2f_0": 2,
+    "ConvBnSilu_2": 3,
+    "C2f_1": 4,
+    "ConvBnSilu_3": 5,
+    "C2f_2": 6,
+    "ConvBnSilu_4": 7,
+    "C2f_3": 8,
+    "SPPF_0": 9,
+    "C2f_4": 12,
+    "C2f_5": 15,
+    "ConvBnSilu_5": 16,
+    "C2f_6": 18,
+    "ConvBnSilu_6": 19,
+    "C2f_7": 21,
+}
+
+_HEAD_IDX = 22
+_WIDTH_TO_SIZE = {16: "n", 32: "s", 48: "m", 64: "l"}
 
 
 def save_checkpoint(path: str, model: YOLO, variables: Dict, extra: Dict) -> None:
@@ -57,52 +99,145 @@ def load_checkpoint(path: str) -> Tuple[YOLO, Dict, Dict]:
     return model, variables, meta
 
 
-def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
-    """Best-effort import of an ultralytics .pt (torch CPU)."""
-    import torch
+def _module_pairs(
+    variables: Dict, task: str
+) -> List[Tuple[str, Tuple[str, ...], str]]:
+    """(torch module prefix, flax module path, kind) for every mapped module;
+    kind is 'convbn' (Conv+BN) or 'conv' (plain 1x1 head conv with bias)."""
+    params = variables["params"]
+    pairs: List[Tuple[str, Tuple[str, ...], str]] = []
+    for flax_name, idx in _BACKBONE_IDX.items():
+        tp = f"model.{idx}"
+        if flax_name.startswith("ConvBnSilu"):
+            pairs.append((tp, (flax_name,), "convbn"))
+            continue
+        pairs.append((f"{tp}.cv1", (flax_name, "ConvBnSilu_0"), "convbn"))
+        pairs.append((f"{tp}.cv2", (flax_name, "ConvBnSilu_1"), "convbn"))
+        if flax_name.startswith("C2f"):
+            j = 0
+            while f"Bottleneck_{j}" in params.get(flax_name, {}):
+                base = (flax_name, f"Bottleneck_{j}")
+                pairs.append((f"{tp}.m.{j}.cv1", base + ("ConvBnSilu_0",), "convbn"))
+                pairs.append((f"{tp}.m.{j}.cv2", base + ("ConvBnSilu_1",), "convbn"))
+                j += 1
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    torch_model = ckpt.get("model", ckpt)
-    names = getattr(torch_model, "names", None)
-    if isinstance(names, dict):
-        names = [names[k] for k in sorted(names)]
-    task = getattr(torch_model, "task", None) or ckpt.get("task", "detect")
-    state = {
-        k: v.float().numpy()
-        for k, v in torch_model.state_dict().items()
-        if hasattr(v, "numpy")
-    }
-    num_classes = len(names) if names else 80
-    model, variables = create_model(num_classes, size="n", task=task)
-    variables = _map_conv_bn(state, variables)
-    meta = {"task": task, "names": names or []}
-    return model, variables, meta
+    branches = [("cv2", "box"), ("cv3", "cls")]
+    if task == "obb":
+        branches.append(("cv4", "ang"))
+    elif task == "pose":
+        branches.append(("cv4", "kpt"))
+    for s in range(3):
+        for tb, fb in branches:
+            hp = f"model.{_HEAD_IDX}.{tb}.{s}"
+            pairs.append((f"{hp}.0", (f"{fb}_conv1_{s}",), "convbn"))
+            pairs.append((f"{hp}.1", (f"{fb}_conv2_{s}",), "convbn"))
+            pairs.append((f"{hp}.2", (f"{fb}_out_{s}",), "conv"))
+    return pairs
 
 
-def _map_conv_bn(torch_state: Dict[str, np.ndarray], variables: Dict) -> Dict:
-    """Shape-driven greedy mapping of torch Conv/BN tensors onto the flax
-    tree: tensors are consumed in torch's module order and assigned to flax
-    leaves of matching (transposed) shape in traversal order."""
+def _tensor_entries(
+    torch_prefix: str, flax_path: Tuple[str, ...], kind: str
+) -> List[Tuple[str, Tuple[str, ...], bool]]:
+    """(torch key, flax flat path, needs OIHW<->HWIO transpose) triples."""
+    if kind == "convbn":
+        cb = flax_path + ("Conv_0", "kernel")
+        bn = flax_path + ("BatchNorm_0",)
+        return [
+            (f"{torch_prefix}.conv.weight", ("params",) + cb, True),
+            (f"{torch_prefix}.bn.weight", ("params",) + bn + ("scale",), False),
+            (f"{torch_prefix}.bn.bias", ("params",) + bn + ("bias",), False),
+            (f"{torch_prefix}.bn.running_mean",
+             ("batch_stats",) + bn + ("mean",), False),
+            (f"{torch_prefix}.bn.running_var",
+             ("batch_stats",) + bn + ("var",), False),
+        ]
+    return [
+        (f"{torch_prefix}.weight", ("params",) + flax_path + ("kernel",), True),
+        (f"{torch_prefix}.bias", ("params",) + flax_path + ("bias",), False),
+    ]
+
+
+def map_ultralytics_state(
+    state: Dict[str, np.ndarray], variables: Dict, task: str
+) -> Tuple[Dict, Dict[str, int]]:
+    """Name-driven import of an ultralytics v8 state dict onto a flax tree.
+
+    Returns (new variables, report) where report counts mapped / missing /
+    shape-mismatched tensors.  Unknown torch keys (e.g. the frozen DFL
+    conv) are ignored."""
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(variables))
+    report = {"mapped": 0, "missing": 0, "mismatched": 0}
+    for tp, fp, kind in _module_pairs(variables, task):
+        for tkey, fkey, transpose in _tensor_entries(tp, fp, kind):
+            if tkey not in state:
+                report["missing"] += 1
+                continue
+            arr = np.asarray(state[tkey], np.float32)
+            if transpose:
+                arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+            if fkey not in flat or flat[fkey].shape != arr.shape:
+                report["mismatched"] += 1
+                continue
+            flat[fkey] = jax.numpy.asarray(arr)
+            report["mapped"] += 1
+    return traverse_util.unflatten_dict(flat), report
+
+
+def export_ultralytics_state(
+    variables: Dict, task: str
+) -> Dict[str, np.ndarray]:
+    """Inverse of map_ultralytics_state: emit this flax tree under
+    ultralytics v8 tensor names (OIHW conv layout) — a converter for tools
+    expecting torch checkpoints, and the round-trip oracle for the import
+    mapping."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(variables)
-    conv_weights = [
-        (k, v) for k, v in torch_state.items() if k.endswith(".conv.weight")
-    ]
-    used = set()
+    out: Dict[str, np.ndarray] = {}
+    for tp, fp, kind in _module_pairs(variables, task):
+        for tkey, fkey, transpose in _tensor_entries(tp, fp, kind):
+            arr = np.asarray(flat[fkey])
+            if transpose:
+                arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+            out[tkey] = arr
+    return out
 
-    def try_assign(key, torch_arr):
-        arr = np.transpose(torch_arr, (2, 3, 1, 0))  # OIHW -> HWIO
-        for fk, fv in flat.items():
-            if fk in used or fk[-1] != "kernel":
-                continue
-            if fv.shape == arr.shape:
-                flat[fk] = jax.numpy.asarray(arr)
-                used.add(fk)
-                return True
-        return False
 
-    mapped = sum(try_assign(k, v) for k, v in conv_weights)
-    if mapped:
-        print(f"[yolo] mapped {mapped}/{len(conv_weights)} conv tensors from .pt")
-    return traverse_util.unflatten_dict(flat)
+def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
+    """Import an ultralytics .pt checkpoint (torch CPU)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    torch_model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    names = getattr(torch_model, "names", None) or (
+        ckpt.get("names") if isinstance(ckpt, dict) else None
+    )
+    if isinstance(names, dict):
+        names = [names[k] for k in sorted(names)]
+    task = getattr(torch_model, "task", None) or (
+        ckpt.get("task", "detect") if isinstance(ckpt, dict) else "detect"
+    )
+    if hasattr(torch_model, "state_dict"):
+        raw = torch_model.state_dict()
+    else:
+        raw = torch_model  # plain state dict
+    state = {k: v.float().numpy() for k, v in raw.items() if hasattr(v, "numpy")}
+
+    stem = state.get("model.0.conv.weight")
+    size = _WIDTH_TO_SIZE.get(stem.shape[0], "n") if stem is not None else "n"
+    cls_bias = state.get(f"model.{_HEAD_IDX}.cv3.0.2.bias")
+    num_classes = (
+        len(names) if names
+        else (cls_bias.shape[0] if cls_bias is not None else 80)
+    )
+
+    model, variables = create_model(num_classes, size=size, task=task)
+    variables, report = map_ultralytics_state(state, variables, task)
+    print(
+        f"[yolo] .pt import ({task}/{size}): {report['mapped']} tensors mapped, "
+        f"{report['missing']} missing, {report['mismatched']} shape-mismatched"
+    )
+    meta = {"task": task, "size": size, "names": names or []}
+    return model, variables, meta
