@@ -187,6 +187,10 @@ class BlockAccessor:
         }
         self._staging_enabled = staging
         self._staging: Optional[np.ndarray] = None
+        # writer-side fault injection (None unless $CUAUV_BUS_FAULTS is set)
+        from .fault_injection import FaultPlan
+
+        self._faults = FaultPlan.from_env()
 
         self._inside_ctx_manager = False
         self._block_ptr = ffi.NULL
@@ -272,6 +276,12 @@ class BlockAccessor:
             raise RuntimeError(
                 f"{len(planes)} planes exceeds the bus limit of {MAX_PLANE_CNT}"
             )
+
+        if self._faults is not None:
+            faulted = self._faults.apply_write(planes)
+            if faulted is None:
+                return WriteStatus.SUCCESS  # dropped: producer never saw it
+            planes = faulted
 
         plane_array = ffi.new("CFramePlaneWrite[]", len(planes))
         keepalive: List[Any] = []
