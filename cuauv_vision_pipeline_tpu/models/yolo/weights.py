@@ -209,7 +209,12 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
     """Import an ultralytics .pt checkpoint (torch CPU)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception as exc:
+        raise RuntimeError(
+            f"failed to read YOLO weight file '{path}': {exc}"
+        ) from exc
     torch_model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     names = getattr(torch_model, "names", None) or (
         ckpt.get("names") if isinstance(ckpt, dict) else None
