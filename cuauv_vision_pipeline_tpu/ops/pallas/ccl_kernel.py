@@ -226,3 +226,41 @@ def label_pallas(
     ly = core // Wp
     lx = core % Wp
     return jnp.where(core < _SENTINEL, ly * W + lx, _SENTINEL)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("connectivity", "max_global_iters", "interpret"),
+)
+def label_pallas_batched(
+    mask: jnp.ndarray,
+    connectivity: int = 8,
+    max_global_iters: int = 64,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """[B, H, W] labeling as ONE kernel dispatch (multi-camera fan-in).
+
+    Images are stacked vertically with one background separator row (no
+    8-neighborhood crosses it), labeled as a single tall image, and the
+    tall raster labels are remapped to per-image raster indices — exactly
+    the values per-image :func:`label_pallas` would produce, for one
+    fixpoint instead of B.
+    """
+    B, H, W = mask.shape
+    GAP = 1  # one background row fully separates 8-connectivity
+    padded = jnp.pad(
+        (mask != 0).astype(jnp.int32), ((0, 0), (0, GAP), (0, 0))
+    )
+    tall = padded.reshape(B * (H + GAP), W)
+    lab = label_pallas(
+        tall,
+        connectivity=connectivity,
+        max_global_iters=max_global_iters,
+        interpret=interpret,
+    )
+    # tall raster -> per-image raster: strip the b*(H+GAP) row bias
+    ly = lab // W
+    lx = lab % W
+    local = (ly % (H + GAP)) * W + lx
+    lab = jnp.where(lab < _SENTINEL, local, _SENTINEL)
+    return lab.reshape(B, H + GAP, W)[:, :H]

@@ -77,3 +77,33 @@ def test_non_tile_aligned_shapes():
         np.testing.assert_array_equal(
             np.asarray(label_pallas(mask)), np.asarray(ccl.label(mask))
         )
+
+
+def test_batched_matches_per_image():
+    from cuauv_vision_pipeline_tpu.ops.pallas.ccl_kernel import (
+        label_pallas_batched,
+    )
+
+    masks = np.stack([_blobs(s, shape=(72, 96)) for s in (3, 4, 5)])
+    masks[0, 0] = 255   # components touching the stack seams
+    masks[0, -1] = 255
+    masks[1, -1] = 255
+    masks[2, 0] = 255
+    batched = np.asarray(label_pallas_batched(masks))
+    for b in range(masks.shape[0]):
+        np.testing.assert_array_equal(
+            batched[b], np.asarray(ccl.label(masks[b]))
+        )
+
+
+def test_batched_separator_never_bridges():
+    from cuauv_vision_pipeline_tpu.ops.pallas.ccl_kernel import (
+        label_pallas_batched,
+    )
+
+    # both images fully foreground: without the separator row the stack
+    # would fuse into one component crossing image boundaries
+    masks = np.full((2, 24, 40), 255, np.uint8)
+    batched = np.asarray(label_pallas_batched(masks))
+    assert (batched[0] == 0).all()  # each image = one component, root 0
+    assert (batched[1] == 0).all()  # SAME local root: bias stripped
