@@ -93,3 +93,34 @@ def test_tp_sharded_yolo_forward():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
+
+
+def test_shard_map_full_chain_fanout():
+    """Module fan-out (examples/multichip_fanout.py): the FULL detection
+    chain — morphology + CCL + blob stats, not just the mask — runs per
+    device under shard_map; each camera's result matches the single-image
+    chain exactly."""
+    import jax.numpy as jnp
+    from examples.multichip_fanout import chain_one, make_fanout
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (8, 48, 64, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:48, 0:64]
+    for cam in range(8):
+        disc = (yy - 10 - 3 * cam) ** 2 + (xx - 12 - 5 * cam) ** 2 < 36
+        frames[cam][disc] = (40, 40, 220)
+
+    tmin = jnp.asarray(140, jnp.uint8)
+    tmax = jnp.asarray(255, jnp.uint8)
+    sharded = jax.device_put(frames, NamedSharding(mesh, P("data")))
+    with mesh:
+        out = jax.tree.map(np.asarray, make_fanout(mesh)(sharded, tmin, tmax))
+
+    single = jax.jit(chain_one)
+    for cam in range(8):
+        ref = jax.tree.map(np.asarray, single(frames[cam], tmin, tmax))
+        assert out["area"][cam] == ref["area"], cam
+        np.testing.assert_allclose(out["centroid"][cam], ref["centroid"])
+        np.testing.assert_array_equal(out["bbox"][cam], ref["bbox"])
+        assert out["area"][cam] > 20  # the disc was actually found
