@@ -56,6 +56,9 @@ def main() -> None:
     # excluded because on this harness the chip is tunnel-attached with
     # ~100 ms RTT, so any host round-trip measures the tunnel, not the
     # chain (a production PCIe-attached host reads the scalars in ~us).
+    # (A scan-fused all-on-chip variant was tried and removed — see
+    # engine/chains.py; per-dispatch cost varies 0.04-0.16 ms run to run
+    # on this tunnel, which is the headline's main spread.)
     start = time.perf_counter()
     last = None
     for i in range(ITERS):

@@ -138,11 +138,13 @@ class RedBuoyPipeline:
 
         kernel = M.rect_kernel(5)
 
-        @jax.jit
-        def one_shot(image, tmin, tmax):
+        def chain(image, tmin, tmax):
             lab = C.bgr_to_lab(image)
             threshed = T.in_range(lab[..., 1], tmin, tmax)
             cleaned = M.close_morph(M.open_morph(threshed, kernel), kernel)
+            # stats on the UN-cleaned mask: the reference runs
+            # outer_contours on `threshed` (red_buoy.py:38), like
+            # red_buoy_chain above; `cleaned` is for the debug post only
             labels = label_pallas(threshed)
             stats = ccl.component_stats(labels, max_components)
             i = jnp.argmax(stats["area"])
@@ -154,7 +156,16 @@ class RedBuoyPipeline:
             }
             return threshed, cleaned, best
 
-        self._one_shot = one_shot
+        self._one_shot = jax.jit(chain)
+
+        # NOTE: a lax.scan-of-the-chain "run N frames in one dispatch"
+        # variant was tried and REMOVED: (a) without threading the carry
+        # into the body XLA proves only the final iteration live and
+        # deletes the rest (400 "chains" in 0.2 ms); (b) with the
+        # dependence fixed, scans with the Pallas CCL while_loop inside
+        # destabilize this remote-attached backend at high trip counts
+        # (34 s at 400 iters, device UNAVAILABLE fault at 1600). Per-frame
+        # async dispatch of this executable is the supported fast path.
 
     def __call__(self, image, tmin, tmax):
         """Returns (threshed, cleaned, best) as device arrays (async)."""

@@ -152,6 +152,7 @@ def test_soak_faulty_writer_sigkill_recovery(unique_direction, tmp_path):
         writer.wait()
         time.sleep(0.2)
         writer = spawn()  # and comes back
+        last_t = 0  # new producer generation restarts its clock
         drain(3.0)
         writer.kill()
         writer.wait()
