@@ -788,10 +788,25 @@ class ModuleBase(ABC):
                                 self._current_direction = alias
                                 self.process(alias, frame)
                     else:
-                        frame_cache[source.name] = (image, acq_time)
-                        updated_aliases.add(source.name)
-                        if source.name not in covered_aliases:
-                            self.process(source.name, image)
+                        # single-plane frames also honor a bus plane name /
+                        # declared alias so @sources handlers match blocks
+                        # that aren't named like their alias (e.g. the
+                        # hypertune harness's private block)
+                        alias = source.name
+                        if (
+                            len(message.plane_names) == 1
+                            and str(message.plane_names[0])
+                        ):
+                            alias = str(message.plane_names[0])
+                        elif len(source.plane_aliases) == 1:
+                            alias = source.plane_aliases[0]
+                        frame_cache[alias] = (image, acq_time)
+                        updated_aliases.add(alias)
+                        if alias != source.name:
+                            self._touch_metadata(alias, image, acq_time)
+                        if alias not in covered_aliases:
+                            self._current_direction = alias
+                            self.process(alias, image)
                 elif message.status == ReadStatus.NO_NEW_FRAME:
                     if self._video_metadata[source.name].mark_as_dead():
                         logger(

@@ -50,7 +50,25 @@ def run_module_over_images(
 
     module.post = capture_post
 
-    size = frame_bytes((images[0].shape, images[0].dtype))
+    # Modules dispatch on @sources plane aliases (e.g. red_buoy wants
+    # 'forward' and 'normal'); write each image once per alias so every
+    # handler fires. Alias-free modules get one anonymous plane.
+    aliases: List[str] = []
+    for attr in dir(module):
+        fn = getattr(module, attr, None)
+        for alias in getattr(fn, "_sources_aliases", ()):
+            if alias not in aliases:
+                aliases.append(alias)
+
+    def payload(img):
+        if not aliases:
+            return img
+        return tuple((a, img) for a in aliases)
+
+    n_planes = max(1, len(aliases))
+    size = frame_bytes(
+        *((images[0].shape, images[0].dtype) for _ in range(n_planes))
+    )
     with BlockAccessor(direction, size) as writer:
         quit_flag = threading.Event()
         from ..core.log import log
@@ -61,7 +79,7 @@ def run_module_over_images(
             )
             thread.start()
             for img in images:
-                writer.write_frame(int(time.monotonic() * 1000), img)
+                writer.write_frame(int(time.monotonic() * 1000), payload(img))
                 time.sleep(1.0 / fps)
             time.sleep(0.2)
             quit_flag.set()

@@ -183,3 +183,24 @@ def test_tracer_spans_and_dump(tmp_path):
     assert span["args"] == {"frame": 1}
     assert any(e["ph"] == "i" for e in events)
     assert any(e["ph"] == "C" for e in events)
+
+
+def test_hypertune_sweep_runs_module_over_images():
+    """The offline sweep harness (misc/hypertune.py — a WORKING rebuild of
+    the reference's broken tool): feeds images through a private bus block
+    with planes named for the module's @sources aliases and collects posts
+    per tuner configuration."""
+    from cuauv_vision_pipeline_tpu.misc.hypertune import run_module_over_images
+    from cuauv_vision_pipeline_tpu.modules.example import Example, module_tuners
+
+    images = [
+        np.full((40, 60, 3), 10 * (i + 1), np.uint8) for i in range(3)
+    ]
+    posts = run_module_over_images(
+        Example, images, module_tuners, {"brightness": 50}, fps=50
+    )
+    assert "example" in posts and len(posts["example"]) >= 1
+    out = posts["example"][0]
+    assert out.shape == (40, 60, 3)
+    # brightness tuner applied: background pixels shifted by +50
+    assert out[0, 0, 0] in (60, 70, 80)  # 10/20/30 + 50 depending on frame
