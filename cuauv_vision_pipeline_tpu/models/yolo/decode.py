@@ -75,6 +75,43 @@ def _aabb_iou(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(a + b - inter, 1e-9)
 
 
+def _probiou(box: jnp.ndarray, boxes: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Rotated-box IoU of one xywhr box against many (Gaussian/Bhattacharyya
+    ProbIoU, the measure ultralytics' nms_rotated uses for the obb task)."""
+
+    def cov(b):
+        w2 = b[..., 2] ** 2 / 12.0
+        h2 = b[..., 3] ** 2 / 12.0
+        c = jnp.cos(b[..., 4])
+        s = jnp.sin(b[..., 4])
+        return (
+            w2 * c * c + h2 * s * s,
+            w2 * s * s + h2 * c * c,
+            (w2 - h2) * c * s,
+        )
+
+    a1, b1, c1 = cov(box)
+    a2, b2, c2 = cov(boxes)
+    x1, y1 = box[..., 0], box[..., 1]
+    x2, y2 = boxes[..., 0], boxes[..., 1]
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    t3 = 0.5 * jnp.log(
+        ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+        / (
+            4.0
+            * jnp.sqrt(jnp.maximum(a1 * b1 - c1 * c1, 0.0))
+            * jnp.sqrt(jnp.maximum(a2 * b2 - c2 * c2, 0.0))
+            + eps
+        )
+        + eps
+    )
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - hd
+
+
 def nms_fixed(
     boxes_xyxy: jnp.ndarray,
     scores: jnp.ndarray,
@@ -82,12 +119,28 @@ def nms_fixed(
     iou_thresh: float = 0.45,
     max_det: int = 32,
     class_aware: bool = True,
+    angles: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a fixed detection budget.
 
     Returns (indices [max_det], valid [max_det]). Scores <= 0 never
-    selected."""
+    selected. When ``angles`` is given (obb task), suppression uses rotated
+    ProbIoU — AABBs of elongated rotated boxes (slalom poles at ~45 deg)
+    overlap heavily even when the rotated boxes barely touch, so axis-
+    aligned IoU would wrongly merge adjacent poles."""
     n = scores.shape[0]
+
+    if angles is not None:
+        xywhr = jnp.stack(
+            [
+                (boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2,
+                (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2,
+                boxes_xyxy[:, 2] - boxes_xyxy[:, 0],
+                boxes_xyxy[:, 3] - boxes_xyxy[:, 1],
+                angles,
+            ],
+            axis=-1,
+        )
 
     def body(i, state):
         alive_scores, picked, valid = state
@@ -96,7 +149,10 @@ def nms_fixed(
         ok = best_score > 0.0
         picked = picked.at[i].set(jnp.where(ok, best, -1))
         valid = valid.at[i].set(ok)
-        ious = _aabb_iou(boxes_xyxy[best], boxes_xyxy)
+        if angles is not None:
+            ious = _probiou(xywhr[best], xywhr)
+        else:
+            ious = _aabb_iou(boxes_xyxy[best], boxes_xyxy)
         same_class = jnp.logical_or(
             not class_aware, classes == classes[best]
         )
@@ -115,6 +171,53 @@ def nms_fixed(
     return picked, valid
 
 
+def decode_boxes(
+    flat: Dict[str, jnp.ndarray], reg_max: int = 16
+) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Per-anchor box decode from flattened head outputs.
+
+    Returns (boxes_xyxy [N, 4], angle [N] or None). For the obb task this
+    is ultralytics' dist2rbox (utils/tal.py): the angle is decoded first
+    — (sigmoid - 0.25) * pi, range (-pi/4, 3pi/4) — and the ltrb center
+    offset is rotated by it before being added to the anchor:
+    cx,cy = anchor + R(angle) @ ((rb - lt) / 2); w,h = lt + rb. The
+    returned xyxy is the axis-aligned w x h box around that (rotated)
+    center; pair it with the angle to get the true corners (obb_corners)."""
+    box = flat["box"][0]  # [N, 4*reg_max]
+    centers = flat["centers"]  # [N, 2]
+    strides = flat["strides"]  # [N]
+
+    dists = _dfl_expectation(box, reg_max) * strides[:, None]
+    cx, cy = centers[:, 0], centers[:, 1]
+
+    if "angle" in flat:
+        angle = (jax.nn.sigmoid(flat["angle"][0, :, 0]) - 0.25) * jnp.pi
+        fx = (dists[:, 2] - dists[:, 0]) / 2
+        fy = (dists[:, 3] - dists[:, 1]) / 2
+        cos, sin = jnp.cos(angle), jnp.sin(angle)
+        cx = cx + fx * cos - fy * sin
+        cy = cy + fx * sin + fy * cos
+        w = dists[:, 0] + dists[:, 2]
+        h = dists[:, 1] + dists[:, 3]
+        return (
+            jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1),
+            angle,
+        )
+
+    return (
+        jnp.stack(
+            [
+                cx - dists[:, 0],
+                cy - dists[:, 1],
+                cx + dists[:, 2],
+                cy + dists[:, 3],
+            ],
+            axis=-1,
+        ),
+        None,
+    )
+
+
 def decode(
     outputs: Dict[str, List[jnp.ndarray]],
     image_size: int,
@@ -130,25 +233,17 @@ def decode(
     input pixels (callers rescale to the original frame).
     """
     flat = _flatten_scales(outputs, image_size)
-    box = flat["box"][0]  # [N, 4*reg_max]
     cls = flat["cls"][0]  # [N, C]
-    centers = flat["centers"]  # [N, 2]
-    strides = flat["strides"]  # [N]
-
-    dists = _dfl_expectation(box, reg_max) * strides[:, None]
-    cx, cy = centers[:, 0], centers[:, 1]
-    x1 = cx - dists[:, 0]
-    y1 = cy - dists[:, 1]
-    x2 = cx + dists[:, 2]
-    y2 = cy + dists[:, 3]
-    boxes_xyxy = jnp.stack([x1, y1, x2, y2], axis=-1)
+    boxes_xyxy, angle = decode_boxes(flat, reg_max)
 
     probs = jax.nn.sigmoid(cls)
     scores = jnp.max(probs, axis=-1)
     classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     scores = jnp.where(scores >= conf_thresh, scores, 0.0)
 
-    picked, valid = nms_fixed(boxes_xyxy, scores, classes, iou_thresh, max_det)
+    picked, valid = nms_fixed(
+        boxes_xyxy, scores, classes, iou_thresh, max_det, angles=angle
+    )
     safe = jnp.maximum(picked, 0)
 
     out = {
@@ -157,9 +252,7 @@ def decode(
         "cls": jnp.where(valid, classes[safe], -1),
         "valid": valid,
     }
-    if "angle" in flat:
-        # ultralytics OBB: angle in (-pi/4, 3pi/4) via (sigmoid - 0.25) * pi
-        angle = (jax.nn.sigmoid(flat["angle"][0, :, 0]) - 0.25) * jnp.pi
+    if angle is not None:
         out["angle"] = angle[safe]
     if "kpts" in flat:
         k = flat["kpts"][0]
@@ -197,16 +290,21 @@ def summarize(
     class_names: List[str],
     scale: Tuple[float, float] = (1.0, 1.0),
     task: str = "detect",
+    pad: Tuple[float, float] = (0.0, 0.0),
 ) -> List[Dict]:
     """Device detections -> ultralytics Results.summary()-style dicts
     (the format the reference's MAP_FN parsers consume,
-    reference modules/yolo.py:116-123)."""
+    reference modules/yolo.py:116-123).
+
+    Coordinates map back to the original frame as (v - pad) * scale, undoing
+    the letterbox applied by model.preprocess."""
     results = []
     valid = np.asarray(decoded["valid"])
     xyxy = np.asarray(decoded["xyxy"])
     scores = np.asarray(decoded["score"])
     classes = np.asarray(decoded["cls"])
     sx, sy = scale
+    px, py = pad
 
     if task == "obb":
         import numpy as _np
@@ -228,21 +326,21 @@ def summarize(
         if task == "obb":
             c = corners[i]
             entry["box"] = {
-                "x1": float(c[0, 0] * sx), "y1": float(c[0, 1] * sy),
-                "x2": float(c[1, 0] * sx), "y2": float(c[1, 1] * sy),
-                "x3": float(c[2, 0] * sx), "y3": float(c[2, 1] * sy),
-                "x4": float(c[3, 0] * sx), "y4": float(c[3, 1] * sy),
+                "x1": float((c[0, 0] - px) * sx), "y1": float((c[0, 1] - py) * sy),
+                "x2": float((c[1, 0] - px) * sx), "y2": float((c[1, 1] - py) * sy),
+                "x3": float((c[2, 0] - px) * sx), "y3": float((c[2, 1] - py) * sy),
+                "x4": float((c[3, 0] - px) * sx), "y4": float((c[3, 1] - py) * sy),
             }
         else:
             entry["box"] = {
-                "x1": float(xyxy[i, 0] * sx), "y1": float(xyxy[i, 1] * sy),
-                "x2": float(xyxy[i, 2] * sx), "y2": float(xyxy[i, 3] * sy),
+                "x1": float((xyxy[i, 0] - px) * sx), "y1": float((xyxy[i, 1] - py) * sy),
+                "x2": float((xyxy[i, 2] - px) * sx), "y2": float((xyxy[i, 3] - py) * sy),
             }
         if task == "pose" and "kpts" in decoded:
             k = np.asarray(decoded["kpts"])[i]
             entry["keypoints"] = {
-                "x": [float(v * sx) for v in k[:, 0]],
-                "y": [float(v * sy) for v in k[:, 1]],
+                "x": [float((v - px) * sx) for v in k[:, 0]],
+                "y": [float((v - py) * sy) for v in k[:, 1]],
                 "visible": [float(v) for v in k[:, 2]],
             }
         results.append(entry)

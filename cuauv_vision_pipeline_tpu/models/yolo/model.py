@@ -27,6 +27,7 @@ SIZES = {
     "s": (1 / 3, 0.50, 1024),
     "m": (2 / 3, 0.75, 768),
     "l": (1.0, 1.00, 512),
+    "x": (1.0, 1.25, 512),
 }
 
 
@@ -227,12 +228,39 @@ def create_model(
     return model, variables
 
 
+def letterbox_params(
+    h: int, w: int, image_size: int = 640
+) -> Tuple[float, int, int, int, int]:
+    """Aspect-preserving letterbox geometry for an h x w frame into an
+    image_size square, matching ultralytics' LetterBox (resize by the min
+    scale, center-pad): returns (scale, pad_left, pad_top, new_h, new_w).
+    Undo a model-space coordinate v with (v - pad) / scale."""
+    scale = min(image_size / h, image_size / w)
+    nh, nw = round(h * scale), round(w * scale)
+    dh, dw = (image_size - nh) / 2, (image_size - nw) / 2
+    return scale, round(dw - 0.1), round(dh - 0.1), nh, nw
+
+
 def preprocess(image_u8: jnp.ndarray, image_size: int = 640) -> jnp.ndarray:
-    """u8 BGR [..., H, W, 3] -> f32 RGB [..., S, S, 3] in [0, 1] (letterbox-
-    free resize, matching ultralytics' square inference default)."""
+    """u8 BGR [..., H, W, 3] -> f32 RGB [..., S, S, 3] in [0, 1].
+
+    Letterboxes like ultralytics predict/track (aspect-preserving resize +
+    114-gray center padding) — imported .pt weights were trained on
+    letterboxed inputs, so a 16:9 camera frame must not be stretched
+    (reference modules/yolo.py:113-116 via ultralytics LetterBox). Shapes
+    are static at trace time, so the geometry is compile-time constant."""
     from ...ops.transform import resize
 
     img = image_u8[..., ::-1]  # BGR -> RGB
-    if img.shape[-3] != image_size or img.shape[-2] != image_size:
-        img = resize(img, (image_size, image_size))
+    h, w = img.shape[-3], img.shape[-2]
+    scale, left, top, nh, nw = letterbox_params(h, w, image_size)
+    if (nh, nw) != (h, w):
+        img = resize(img, (nw, nh))  # dsize is (width, height)
+    if (nh, nw) != (image_size, image_size):
+        pad = [(0, 0)] * (img.ndim - 3) + [
+            (top, image_size - nh - top),
+            (left, image_size - nw - left),
+            (0, 0),
+        ]
+        img = jnp.pad(img, pad, constant_values=114)
     return img.astype(jnp.float32) / 255.0

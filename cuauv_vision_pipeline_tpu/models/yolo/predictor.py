@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .decode import decode, summarize
-from .model import YOLO, create_model, preprocess
+from .model import YOLO, create_model, letterbox_params, preprocess
 from .tracker import ByteTracker
 from .weights import load_checkpoint
 
@@ -118,8 +118,15 @@ class YoloModel:
         h, w = image.shape[:2]
         decoded = self._forward(self.variables, jnp.asarray(image))
         decoded = jax.tree.map(np.asarray, decoded)
-        scale = (w / self.image_size, h / self.image_size)
-        return summarize(decoded, self.class_names, scale, self.task)
+        # Undo preprocess()'s letterbox: orig = (model_coord - pad) / scale.
+        scale, left, top, _, _ = letterbox_params(h, w, self.image_size)
+        return summarize(
+            decoded,
+            self.class_names,
+            (1.0 / scale, 1.0 / scale),
+            self.task,
+            pad=(left, top),
+        )
 
     def track(self, image: np.ndarray, verbose: bool = False) -> List[_Result]:
         summary = self.predict(image)

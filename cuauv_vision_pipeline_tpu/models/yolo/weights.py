@@ -61,7 +61,7 @@ _BACKBONE_IDX = {
 }
 
 _HEAD_IDX = 22
-_WIDTH_TO_SIZE = {16: "n", 32: "s", 48: "m", 64: "l"}
+_WIDTH_TO_SIZE = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}
 
 
 def save_checkpoint(path: str, model: YOLO, variables: Dict, extra: Dict) -> None:
@@ -231,7 +231,18 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
     state = {k: v.float().numpy() for k, v in raw.items() if hasattr(v, "numpy")}
 
     stem = state.get("model.0.conv.weight")
-    size = _WIDTH_TO_SIZE.get(stem.shape[0], "n") if stem is not None else "n"
+    if stem is None:
+        raise RuntimeError(
+            f"'{path}' has no 'model.0.conv.weight' — not an ultralytics v8 "
+            f"state dict (keys start: {sorted(state)[:5]})"
+        )
+    if stem.shape[0] not in _WIDTH_TO_SIZE:
+        raise RuntimeError(
+            f"'{path}' stem width {stem.shape[0]} matches no known yolov8 "
+            f"size (known widths: {sorted(_WIDTH_TO_SIZE)}); refusing to "
+            f"build a mismatched model"
+        )
+    size = _WIDTH_TO_SIZE[stem.shape[0]]
     cls_bias = state.get(f"model.{_HEAD_IDX}.cv3.0.2.bias")
     num_classes = (
         len(names) if names
@@ -244,5 +255,21 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
         f"[yolo] .pt import ({task}/{size}): {report['mapped']} tensors mapped, "
         f"{report['missing']} missing, {report['mismatched']} shape-mismatched"
     )
+    if report["mapped"] == 0:
+        raise RuntimeError(
+            f"'{path}': no tensors mapped — checkpoint layout does not match "
+            f"yolov8 {task}/{size}"
+        )
+    if report["missing"] or report["mismatched"]:
+        import warnings
+
+        warnings.warn(
+            f"'{path}': partial .pt import — {report['missing']} expected "
+            f"tensors missing, {report['mismatched']} shape-mismatched "
+            f"(mapped {report['mapped']}); the unmapped layers keep their "
+            f"random init and the model WILL mispredict",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     meta = {"task": task, "size": size, "names": names or []}
     return model, variables, meta

@@ -321,3 +321,62 @@ def test_module_tuner_update_roundtrip(unique_direction):
 
     source.quit_flag.set()
     src_thread.join(timeout=5)
+
+
+def test_shm_reopen_after_create_uses_identical_offsets():
+    """Regression: the creator serialized the schema sorted but computed its
+    own offsets in insertion order, so any attaching process decoded the
+    wrong bytes for non-alphabetical schemas. Create with a deliberately
+    non-alphabetical field order, write distinctive values, then attach
+    fresh Group objects (same path a second process takes) and re-read."""
+    name = "test_offsets_group"
+    schema = {
+        "zeta": ["float", 0.0],
+        "alpha": ["int", 0],
+        "mike": ["string", ""],
+        "beta": ["bool", False],
+    }
+    try:
+        creator = shm.Group(name, schema)
+        creator.zeta.set(3.25)
+        creator.alpha.set(42)
+        creator.mike.set("hello")
+        creator.beta.set(True)
+
+        attacher = shm.Group(name)  # attaches via the file header
+        assert attacher.zeta.get() == pytest.approx(3.25)
+        assert attacher.alpha.get() == 42
+        assert attacher.mike.get() == "hello"
+        assert attacher.beta.get() is True
+        # and writes from the attacher land where the creator reads them
+        attacher.alpha.set(7)
+        assert creator.alpha.get() == 7
+    finally:
+        shm.delete_group(name)
+
+
+def test_shm_cross_process_offsets():
+    """Same regression, but with a genuinely separate process attaching."""
+    import subprocess
+    import sys
+
+    name = "test_xproc_group"
+    schema = {"zz_last": ["float", 0.0], "aa_first": ["int", 0]}
+    try:
+        g = shm.Group(name, schema)
+        g.zz_last.set(9.5)
+        g.aa_first.set(-3)
+        code = (
+            "from cuauv_vision_pipeline_tpu.core import shm\n"
+            f"g = shm.Group({name!r})\n"
+            "assert g.zz_last.get() == 9.5, g.zz_last.get()\n"
+            "assert g.aa_first.get() == -3, g.aa_first.get()\n"
+            "g.aa_first.set(11)\n"
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], check=True, timeout=60,
+            cwd="/root/repo",
+        )
+        assert g.aa_first.get() == 11
+    finally:
+        shm.delete_group(name)

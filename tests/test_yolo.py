@@ -361,3 +361,148 @@ def test_load_pt_checkpoint_via_torch(tmp_path):
     assert model.num_classes == 3
     for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ── round-2 fixes: dist2rbox, probiou NMS, letterbox ─────────────────────
+
+
+def test_obb_decode_matches_dist2rbox_reference():
+    """decode_boxes for obb must agree numerically with an independent
+    numpy implementation of ultralytics' dist2rbox on random logits
+    (anchor + R(angle) @ (rb-lt)/2 center; w,h = lt+rb)."""
+    from cuauv_vision_pipeline_tpu.models.yolo.decode import (
+        _flatten_scales,
+        decode_boxes,
+    )
+
+    rng = np.random.default_rng(7)
+    reg_max = 16
+    image_size = 64  # strides 8/16/32 -> 8x8 + 4x4 + 2x2 = 84 anchors
+    outputs = {"box": [], "cls": [], "angle": []}
+    for s in (8, 16, 32):
+        hw = image_size // s
+        outputs["box"].append(
+            jnp.asarray(rng.normal(size=(1, hw, hw, 4 * reg_max)), jnp.float32)
+        )
+        outputs["cls"].append(
+            jnp.asarray(rng.normal(size=(1, hw, hw, 3)), jnp.float32)
+        )
+        outputs["angle"].append(
+            jnp.asarray(rng.normal(size=(1, hw, hw, 1)), jnp.float32)
+        )
+    flat = jax.tree.map(np.asarray, _flatten_scales(outputs, image_size))
+    xyxy, angle = decode_boxes(
+        {k: jnp.asarray(v) for k, v in flat.items()}, reg_max
+    )
+    xyxy, angle = np.asarray(xyxy), np.asarray(angle)
+
+    # independent numpy reference
+    logits = flat["box"][0].reshape(-1, 4, reg_max).astype(np.float64)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    d = (probs * np.arange(reg_max)).sum(-1) * flat["strides"][:, None]
+    ref_angle = (
+        1 / (1 + np.exp(-flat["angle"][0, :, 0].astype(np.float64))) - 0.25
+    ) * np.pi
+    lt, rb = d[:, :2], d[:, 2:]
+    off = (rb - lt) / 2
+    cos, sin = np.cos(ref_angle), np.sin(ref_angle)
+    cx = flat["centers"][:, 0] + off[:, 0] * cos - off[:, 1] * sin
+    cy = flat["centers"][:, 1] + off[:, 0] * sin + off[:, 1] * cos
+    w, h = lt[:, 0] + rb[:, 0], lt[:, 1] + rb[:, 1]
+
+    np.testing.assert_allclose(angle, ref_angle, atol=1e-5)
+    np.testing.assert_allclose((xyxy[:, 0] + xyxy[:, 2]) / 2, cx, atol=1e-3)
+    np.testing.assert_allclose((xyxy[:, 1] + xyxy[:, 3]) / 2, cy, atol=1e-3)
+    np.testing.assert_allclose(xyxy[:, 2] - xyxy[:, 0], w, atol=1e-3)
+    np.testing.assert_allclose(xyxy[:, 3] - xyxy[:, 1], h, atol=1e-3)
+
+
+def test_obb_nms_keeps_adjacent_rotated_poles():
+    """Two elongated boxes at 45 deg, side by side: their AABBs overlap
+    heavily (axis-aligned NMS would merge them) but the rotated boxes
+    barely touch — probiou NMS must keep both."""
+    # two 100x10 boxes at 45deg, centers 20px apart perpendicular to the
+    # long axis: rotated boxes have a 10px gap; the AABBs overlap at
+    # IoU ~0.50
+    w, h = 100.0, 10.0
+    c1 = (100.0, 100.0)
+    c2 = (100.0 + 20.0 / np.sqrt(2), 100.0 - 20.0 / np.sqrt(2))
+    boxes = jnp.asarray(
+        [
+            [c1[0] - w / 2, c1[1] - h / 2, c1[0] + w / 2, c1[1] + h / 2],
+            [c2[0] - w / 2, c2[1] - h / 2, c2[0] + w / 2, c2[1] + h / 2],
+        ],
+        jnp.float32,
+    )
+    angles = jnp.asarray([np.pi / 4, np.pi / 4], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    classes = jnp.asarray([0, 0], jnp.int32)
+
+    # axis-aligned NMS on the AABBs of the rotated boxes WOULD suppress:
+    from cuauv_vision_pipeline_tpu.models.yolo.decode import obb_corners
+
+    corners = np.asarray(obb_corners(boxes, angles))
+    aabbs = jnp.asarray(
+        np.concatenate(
+            [corners.min(axis=1), corners.max(axis=1)], axis=-1
+        ),
+        jnp.float32,
+    )
+    _, valid_aabb = nms_fixed(aabbs, scores, classes, iou_thresh=0.45, max_det=2)
+    assert np.asarray(valid_aabb).tolist() == [True, False]
+
+    # rotated probiou NMS keeps both
+    _, valid_rot = nms_fixed(
+        boxes, scores, classes, iou_thresh=0.45, max_det=2, angles=angles
+    )
+    assert np.asarray(valid_rot).tolist() == [True, True]
+
+
+def test_probiou_identity_and_disjoint():
+    from cuauv_vision_pipeline_tpu.models.yolo.decode import _probiou
+
+    b = jnp.asarray([50.0, 50.0, 40.0, 10.0, 0.6])
+    others = jnp.asarray(
+        [
+            [50.0, 50.0, 40.0, 10.0, 0.6],   # identical
+            [500.0, 500.0, 40.0, 10.0, 0.6], # far away
+        ]
+    )
+    iou = np.asarray(_probiou(b, others))
+    assert iou[0] > 0.95
+    assert iou[1] < 0.05
+
+
+def test_preprocess_letterboxes_and_summarize_inverts():
+    """A 16:9 frame must be aspect-preserved with 114-gray pads, and
+    summarize's (v - pad) * scale must map model coords back to frame
+    pixels."""
+    from cuauv_vision_pipeline_tpu.models.yolo.model import letterbox_params
+
+    h, w, S = 720, 1280, 640
+    img = np.full((h, w, 3), 200, np.uint8)
+    out = np.asarray(preprocess(jnp.asarray(img)[None], S))[0]
+    assert out.shape == (S, S, 3)
+    scale, left, top, nh, nw = letterbox_params(h, w, S)
+    assert (nh, nw) == (360, 640) and left == 0 and top == 140
+    # pad rows are the 114 gray, content rows are the image
+    np.testing.assert_allclose(out[0], 114 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[-1], 114 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[S // 2], 200 / 255.0, atol=1e-2)
+
+    # summarize inverse: a detection spanning the content area maps to the
+    # full original frame
+    decoded = {
+        "valid": np.array([True]),
+        "xyxy": np.array([[left, top, left + nw, top + nh]], np.float32),
+        "score": np.array([0.9], np.float32),
+        "cls": np.array([0], np.int32),
+    }
+    [entry] = summarize(
+        decoded, ["thing"], (1 / scale, 1 / scale), "detect", pad=(left, top)
+    )
+    assert entry["box"]["x1"] == pytest.approx(0.0, abs=1e-3)
+    assert entry["box"]["y1"] == pytest.approx(0.0, abs=1e-3)
+    assert entry["box"]["x2"] == pytest.approx(w, abs=1e-3)
+    assert entry["box"]["y2"] == pytest.approx(h, abs=1e-3)
