@@ -27,8 +27,9 @@ import numpy as np
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cuauv_vision_pipeline_tpu.core.jaxconfig import ensure_compile_cache
+
+    ensure_compile_cache()
 
     from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
     from cuauv_vision_pipeline_tpu.engine.chains import RedBuoyPipeline

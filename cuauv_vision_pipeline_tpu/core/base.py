@@ -157,6 +157,62 @@ def sources(*source_specs: str):
     return _decorator
 
 
+def device_fn(*source_specs: str, depth: int = 1):
+    """Decorator marking a method as the module's jitted device chain.
+
+    The TPU fast path the reference never had (its per-frame path copied
+    every frame twice and ran OpenCV synchronously, reference
+    core/base.py:761-768). The decorated method must be jit-traceable:
+
+        @device_fn("zed[forward]", "zed[normal]")
+        def chain(self, forward, normal, *, tuners, want_posts):
+            ...device ops...
+            return result_pytree, posts_dict
+
+    * positional args: device arrays for each alias, in order;
+    * ``tuners``: dict of tuner name -> traced scalar (live tuning never
+      recompiles);
+    * ``want_posts``: static bool — False in performance mode, so XLA
+      dead-code-eliminates every debug-image output and nothing but the
+      result scalars crosses back to the host;
+    * returns ``(result, posts)`` pytrees of device arrays.
+
+    ModuleBase runs the chain through a depth-``depth`` StreamExecutor:
+    frame N's H2D copy + compute overlap the bus read of frame N+1, and the
+    materialized result of frame N arrives at ``on_device_result(result,
+    posts, meta)`` one submit later. ``depth > 1`` keeps several transfers
+    in flight (hides high-latency links at the cost of added result
+    latency).
+    """
+
+    def _alias_of(spec: str) -> str:
+        s = spec.strip()
+        if "[" in s and "]" in s:
+            return s.split("[", 1)[1].rsplit("]", 1)[0].strip()
+        return s
+
+    def _decorator(fn: Callable):
+        fn._device_fn_aliases = tuple(_alias_of(s) for s in source_specs)
+        fn._device_fn_depth = depth
+        return fn
+
+    return _decorator
+
+
+@dataclass
+class DeviceResultMeta:
+    """Provenance of one device-chain result delivered to
+    ``on_device_result``."""
+
+    aliases: Tuple[str, ...]
+    acquisition_time: int  # ms clock of the newest frame in the bundle
+    submit_time: float  # time.monotonic() at submit
+
+    def latency_ms(self) -> int:
+        """Camera-to-result latency of this bundle, in ms."""
+        return int(time.monotonic() * 1000) - self.acquisition_time
+
+
 @dataclass
 class VideoMessage:
     source: VideoSource
@@ -265,6 +321,26 @@ class ModuleManager:
 
     def __getitem__(self, key: str) -> Any:
         return self._tuner_sources[key].value
+
+    def set_staging_depth(self, depth: int) -> None:
+        """Keep the last ``depth`` reads per video source alive (pipelined
+        device path; see BlockAccessor.set_staging_depth)."""
+        for accessor in self._video_accessor.values():
+            accessor.set_staging_depth(depth)
+
+    def tuner_scalars(self) -> Dict[str, np.generic]:
+        """Current tuner values as fixed-dtype numpy scalars — stable jit
+        signatures for the device chain (int32/float64/bool_)."""
+        out: Dict[str, np.generic] = {}
+        for name, tuner in self._tuner_sources.items():
+            v = tuner.value
+            if isinstance(v, bool):
+                out[name] = np.bool_(v)
+            elif isinstance(v, int):
+                out[name] = np.int32(v)
+            else:
+                out[name] = np.float64(v)
+        return out
 
     def __str__(self) -> str:
         return (
@@ -605,6 +681,10 @@ class ModuleBase(ABC):
         self._performance_enabled: bool = args.enable_performance
         self._retry = True
 
+        # device-chain discovery result; populated on first use ("unset"
+        # sentinel so tests driving _loop directly still discover)
+        self._dev_spec: Any = "unset"
+
         self._video_metadata: Dict[str, VideoSourceMetadata] = {}
         for source in src:
             self._video_metadata[source.name] = VideoSourceMetadata()
@@ -659,6 +739,20 @@ class ModuleBase(ABC):
         """Default no-op per-alias processing; override or use @sources."""
         return None
 
+    def on_device_result(
+        self, result: Any, posts: Dict[str, np.ndarray], meta: DeviceResultMeta
+    ) -> None:
+        """Called with each materialized @device_fn result (numpy pytrees).
+
+        ``posts`` is empty in performance mode. ``meta.latency_ms()`` is the
+        camera-to-result latency of this bundle. Override in modules that
+        register a @device_fn.
+        """
+        raise NotImplementedError(
+            f"{self.__class__.__name__} registered a @device_fn but does not "
+            "override on_device_result"
+        )
+
     def process_bundle(
         self,
         direction: str,
@@ -699,6 +793,20 @@ class ModuleBase(ABC):
             quit_flag.set()
 
         logger(f"Target FPS = {self._fps}", self._verbose)
+
+        if self._dev_spec == "unset":
+            self._dev_spec = self._discover_device_fn(logger)
+        if self._dev_spec is not None:
+            # initialize the backend on the main thread before the loop
+            # thread's first device_put: surfaces init errors early and
+            # keeps plugin registration off the hot path
+            import jax
+
+            logger(
+                f"JAX backend: {jax.default_backend()} "
+                f"({len(jax.devices())} device(s))",
+                True,
+            )
 
         while self._retry:
             self._retry = False
@@ -747,12 +855,63 @@ class ModuleBase(ABC):
                 )
         return handlers
 
+    def _discover_device_fn(
+        self, logger: Logger
+    ) -> Optional[Tuple[Callable, Tuple[str, ...], int]]:
+        """Find the module's @device_fn method (at most one)."""
+        found: Optional[Tuple[Callable, Tuple[str, ...], int]] = None
+        for attr_name in dir(self):
+            try:
+                maybe = getattr(self, attr_name)
+            except Exception:
+                continue
+            target = getattr(maybe, "__func__", maybe)
+            aliases = getattr(target, "_device_fn_aliases", None)
+            if not aliases:
+                continue
+            if found is not None:
+                raise RuntimeError(
+                    f"{self.__class__.__name__} registers more than one "
+                    "@device_fn; a module has exactly one device chain"
+                )
+            depth = getattr(target, "_device_fn_depth", 1)
+            found = (maybe, tuple(aliases), depth)
+            logger(
+                f"Registered device chain {attr_name} with aliases "
+                f"{aliases} (pipeline depth {depth})",
+                True,
+            )
+        return found
+
+    def _dispatch_device_result(self, done: Tuple[Any, Any]) -> None:
+        (result, posts), meta = done
+        self._current_direction = meta.aliases[0]
+        with tracer.span("on_device_result"):
+            self.on_device_result(result, posts, meta)
+
     def _loop(self, quit_flag: threading.Event, logger: Logger) -> None:
         # alias -> (frame, acquisition_time)
         frame_cache: Dict[str, Tuple[np.ndarray, int]] = {}
         ms_handlers = self._discover_handlers(logger)
         covered_aliases = {a for _, aliases in ms_handlers for a in aliases}
         logged_missing: set = set()
+
+        if self._dev_spec == "unset":
+            self._dev_spec = self._discover_device_fn(logger)
+        dev = self._dev_spec
+        dev_exec = None
+        dev_aliases: Tuple[str, ...] = ()
+        if dev is not None:
+            from ..engine.executor import DevicePipeline, StreamExecutor
+
+            dev_bound, dev_aliases, dev_depth = dev
+            dev_exec = StreamExecutor(
+                DevicePipeline(dev_bound, static_argnames=("want_posts",)),
+                depth=dev_depth,
+            )
+            # staging views must outlive the in-flight transfers
+            self._module_manager.set_staging_depth(dev_depth + 1)
+            covered_aliases |= set(dev_aliases)
 
         while not quit_flag.is_set():
             tick_start = time.monotonic()
@@ -828,9 +987,42 @@ class ModuleBase(ABC):
                     with tracer.span("handler", fn=handler.__name__):
                         handler(*imgs)
 
+            if dev_exec is not None:
+                fresh = all(a in frame_cache for a in dev_aliases) and any(
+                    a in updated_aliases for a in dev_aliases
+                )
+                if fresh:
+                    frames = tuple(frame_cache[a][0] for a in dev_aliases)
+                    acq = max(frame_cache[a][1] for a in dev_aliases)
+                    meta = DeviceResultMeta(
+                        aliases=dev_aliases,
+                        acquisition_time=acq,
+                        submit_time=time.monotonic(),
+                    )
+                    with tracer.span("device_submit"):
+                        done = dev_exec.submit(
+                            frames,
+                            meta=meta,
+                            tuners=self._module_manager.tuner_scalars(),
+                            want_posts=not self._performance_enabled,
+                        )
+                    if done is not None:
+                        self._dispatch_device_result(done)
+                elif dev_exec.pending:
+                    # no new bundle this tick — the device had a full frame
+                    # period to finish, so drain rather than hold the result
+                    done = dev_exec.flush_one()
+                    if done is not None:
+                        self._dispatch_device_result(done)
+
             with tracer.span("drain_posts", n=len(self._post_queue)):
                 self._drain_post_queue()
             time.sleep(max((1 / self._fps) - (time.monotonic() - tick_start), 0))
+
+        if dev_exec is not None:
+            for done in dev_exec.flush():
+                self._dispatch_device_result(done)
+            self._drain_post_queue()
 
     def _plane_aliases_for(self, message: VideoMessage) -> Tuple[str, ...]:
         """Alias resolution for multi-plane frames: bus plane names win, then

@@ -187,6 +187,13 @@ class BlockAccessor:
         }
         self._staging_enabled = staging
         self._staging: Optional[np.ndarray] = None
+        # staging rotation: with depth N, views from the last N reads stay
+        # valid — required when an async H2D transfer (jax.device_put) may
+        # still be reading a previous frame's staging buffer while the next
+        # read_frame lands bytes (the engine's pipelined fast path)
+        self._staging_pool: List[np.ndarray] = []
+        self._staging_idx = 0
+        self._staging_depth = 1
         # writer-side fault injection (None unless $CUAUV_BUS_FAULTS is set)
         from .fault_injection import FaultPlan
 
@@ -218,6 +225,19 @@ class BlockAccessor:
 
     def last_plane_names(self) -> Tuple[str, ...]:
         return self._last_plane_names
+
+    def set_staging_depth(self, depth: int) -> "BlockAccessor":
+        """Keep the last ``depth`` reads' staging buffers alive.
+
+        Views returned by ``read_frame`` stay valid for the next
+        ``depth - 1`` successful reads instead of just until the next one —
+        the contract a depth-N StreamExecutor needs while transfers are in
+        flight.
+        """
+        if depth < 1:
+            raise ValueError("staging depth must be >= 1")
+        self._staging_depth = depth
+        return self
 
     @property
     def latest_uid(self) -> int:
@@ -337,8 +357,13 @@ class BlockAccessor:
         self._require_ctx()
 
         if self._staging_enabled:
-            if self._staging is None or self._staging.nbytes < self.max_entry_size:
-                self._staging = np.empty(max(self.max_entry_size, 1), dtype=np.uint8)
+            need = max(self.max_entry_size, 1)
+            slot = self._staging_idx % self._staging_depth
+            while len(self._staging_pool) <= slot:
+                self._staging_pool.append(np.empty(need, dtype=np.uint8))
+            if self._staging_pool[slot].nbytes < need:
+                self._staging_pool[slot] = np.empty(need, dtype=np.uint8)
+            self._staging = self._staging_pool[slot]
             dst = ffi.from_buffer(self._staging, require_writable=True)
             status_i = _dllib.read_frame_into(
                 self._block_ptr,
@@ -400,6 +425,8 @@ class BlockAccessor:
         self._acquisition_time = acquisition_time
         self._frame_data = planes[0] if plane_count == 1 else tuple(planes)
         self._last_plane_names = tuple(names)
+        if self._staging_enabled:
+            self._staging_idx += 1  # next read lands in the next pool slot
         return status, self._frame_data, self._acquisition_time
 
     # -- context management -----------------------------------------------

@@ -1,0 +1,44 @@
+"""Process-wide JAX configuration for the pipeline.
+
+Every process that touches the device (modules, benches, tools) shares one
+persistent compilation cache, so the multi-minute first compile of a module
+chain through a remote-attached backend happens once per machine, not once
+per process launch. The reference had no equivalent problem (OpenCV has no
+compile step); on TPU the cache IS the startup-latency story.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _default_cache_dir() -> str:
+    override = os.environ.get("CUAUV_JAX_CACHE")
+    if override:
+        return override
+    # source checkout: keep the cache next to the code so repeated runs of
+    # any tool in the repo share it
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_dir)
+    if os.path.isdir(os.path.join(repo_root, ".git")):
+        return os.path.join(repo_root, ".jax_cache")
+    return os.path.expanduser("~/.cache/cuauv-vision-pipeline-tpu/jax")
+
+
+_configured = False
+
+
+def ensure_compile_cache() -> None:
+    """Idempotently point JAX's persistent compilation cache at the shared
+    directory. Call before the first jit dispatch (imports jax)."""
+    global _configured
+    if _configured:
+        return
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        _configured = True  # respect an explicit setting (e.g. the test suite)
+        return
+    jax.config.update("jax_compilation_cache_dir", _default_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _configured = True

@@ -119,44 +119,56 @@ class HsvMaskPipeline:
         )
 
 
+def red_buoy_fused(
+    image: jnp.ndarray,
+    thresh_min: jnp.ndarray,
+    thresh_max: jnp.ndarray,
+    max_components: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The red_buoy hot path as one fused graph with the Pallas strip-CCL
+    kernel (the production variant of ``red_buoy_chain`` above, which uses
+    the pure-XLA fixpoint labeler): colorspace -> inRange -> open/close
+    morphology -> Pallas CCL -> blob reductions -> argmax. Stats run on the
+    UN-cleaned mask: the reference runs outer_contours on `threshed`
+    (reference modules/red_buoy.py:38); `cleaned` is for the debug post.
+    """
+    from ..ops.pallas.ccl_kernel import label_pallas
+
+    kernel = M.rect_kernel(5)
+    lab = C.bgr_to_lab(image)
+    threshed = T.in_range(lab[..., 1], thresh_min, thresh_max)
+    cleaned = M.close_morph(M.open_morph(threshed, kernel), kernel)
+    labels = label_pallas(threshed)
+    stats = ccl.component_stats(labels, max_components)
+    i = jnp.argmax(stats["area"])
+    best = {
+        "area": stats["area"][i],
+        "centroid": stats["centroid"][i],
+        "bbox": stats["bbox"][i],
+        "found": stats["valid"][i],
+    }
+    return threshed, cleaned, best
+
+
 class RedBuoyPipeline:
     """The red_buoy hot path split into exactly three device dispatches.
 
     Per-op eager dispatch is expensive on a remote-attached TPU (tens of ms
     per call through the transport); the whole hot path is ONE cached
-    executable — colorspace -> inRange -> open/close morphology -> the
-    Pallas strip-CCL kernel -> blob reductions -> argmax — with the tuner
-    thresholds as traced scalars (live tuning never recompiles; the full
-    graph compiles in ~15 s and is persisted in the jax compilation cache).
+    executable — ``red_buoy_fused`` — with the tuner thresholds as traced
+    scalars (live tuning never recompiles; the full graph compiles in ~15 s
+    and is persisted in the jax compilation cache).
 
     Steady state on one v5e chip: 0.04-0.08 ms/frame at 1080p
     device-resident (13,000-26,000 fps across runs).
     """
 
     def __init__(self, max_components: int = 8):
-        from ..ops.pallas.ccl_kernel import label_pallas
-
-        kernel = M.rect_kernel(5)
-
-        def chain(image, tmin, tmax):
-            lab = C.bgr_to_lab(image)
-            threshed = T.in_range(lab[..., 1], tmin, tmax)
-            cleaned = M.close_morph(M.open_morph(threshed, kernel), kernel)
-            # stats on the UN-cleaned mask: the reference runs
-            # outer_contours on `threshed` (red_buoy.py:38), like
-            # red_buoy_chain above; `cleaned` is for the debug post only
-            labels = label_pallas(threshed)
-            stats = ccl.component_stats(labels, max_components)
-            i = jnp.argmax(stats["area"])
-            best = {
-                "area": stats["area"][i],
-                "centroid": stats["centroid"][i],
-                "bbox": stats["bbox"][i],
-                "found": stats["valid"][i],
-            }
-            return threshed, cleaned, best
-
-        self._one_shot = jax.jit(chain)
+        self._one_shot = jax.jit(
+            lambda image, tmin, tmax: red_buoy_fused(
+                image, tmin, tmax, max_components
+            )
+        )
 
         # NOTE: a lax.scan-of-the-chain "run N frames in one dispatch"
         # variant was tried and REMOVED: (a) without threading the carry

@@ -12,10 +12,15 @@ no threads, no GIL.
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Any, Callable, Optional, Tuple
 
 import jax
 import numpy as np
+
+from ..core.jaxconfig import ensure_compile_cache
+
+ensure_compile_cache()
 
 
 class DevicePipeline:
@@ -45,36 +50,52 @@ class DevicePipeline:
 
 
 class StreamExecutor:
-    """One-deep software pipeline over a DevicePipeline.
+    """Depth-N software pipeline over a DevicePipeline.
 
-    ``submit(frame)`` enqueues H2D + compute for this frame and returns the
-    *previous* frame's completed result (or None on the first call) — so the
-    TPU computes frame N while the host reads frame N+1 off the bus.
-    ``flush()`` drains the last pending result.
+    ``submit(frame)`` enqueues H2D + compute for this frame; once the queue
+    holds ``depth`` in-flight frames it returns the *oldest* completed
+    result — so the TPU computes frame N while the host reads frame N+1 off
+    the bus (depth 1), or keeps several transfers in flight to hide a
+    high-latency link (depth > 1). ``flush()``/``flush_one()`` drain
+    pending results; ``pending`` reports queue occupancy.
     """
 
-    def __init__(self, pipeline: DevicePipeline):
+    def __init__(self, pipeline: DevicePipeline, depth: int = 1):
+        if depth < 1:
+            raise ValueError("pipeline depth must be >= 1")
         self.pipeline = pipeline
-        self._pending: Optional[Tuple[Any, Any]] = None  # (result, meta)
+        self.depth = depth
+        self._queue: "deque[Tuple[Any, Any]]" = deque()  # (result_fut, meta)
 
-    def submit(self, args: Tuple[Any, ...], meta: Any = None) -> Optional[Tuple[Any, Any]]:
+    @property
+    def pending(self) -> int:
+        return len(self._queue)
+
+    def submit(
+        self, args: Tuple[Any, ...], meta: Any = None, **kwargs: Any
+    ) -> Optional[Tuple[Any, Any]]:
         device_args = tuple(
             jax.device_put(a) if isinstance(a, np.ndarray) else a for a in args
         )
-        fut = self.pipeline(*device_args)
-        prev = self._pending
-        self._pending = (fut, meta)
-        if prev is None:
+        fut = self.pipeline(*device_args, **kwargs)
+        self._queue.append((fut, meta))
+        if len(self._queue) <= self.depth:
             return None
-        result, prev_meta = prev
-        return jax.tree.map(np.asarray, result), prev_meta
+        return self.flush_one()
 
-    def flush(self) -> Optional[Tuple[Any, Any]]:
-        if self._pending is None:
+    def flush_one(self) -> Optional[Tuple[Any, Any]]:
+        """Materialize the oldest in-flight result (blocking), or None."""
+        if not self._queue:
             return None
-        result, meta = self._pending
-        self._pending = None
+        result, meta = self._queue.popleft()
         return jax.tree.map(np.asarray, result), meta
+
+    def flush(self) -> list:
+        """Materialize every in-flight result, oldest first."""
+        out = []
+        while self._queue:
+            out.append(self.flush_one())
+        return out
 
 
 class EmaTimer:

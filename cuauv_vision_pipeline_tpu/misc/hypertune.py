@@ -50,13 +50,17 @@ def run_module_over_images(
 
     module.post = capture_post
 
-    # Modules dispatch on @sources plane aliases (e.g. red_buoy wants
-    # 'forward' and 'normal'); write each image once per alias so every
-    # handler fires. Alias-free modules get one anonymous plane.
+    # Modules dispatch on @sources / @device_fn plane aliases (e.g.
+    # red_buoy wants 'forward' and 'normal'); write each image once per
+    # alias so every handler fires. Alias-free modules get one anonymous
+    # plane.
     aliases: List[str] = []
     for attr in dir(module):
         fn = getattr(module, attr, None)
-        for alias in getattr(fn, "_sources_aliases", ()):
+        for alias in getattr(fn, "_sources_aliases", ()) or ():
+            if alias not in aliases:
+                aliases.append(alias)
+        for alias in getattr(fn, "_device_fn_aliases", ()) or ():
             if alias not in aliases:
                 aliases.append(alias)
 

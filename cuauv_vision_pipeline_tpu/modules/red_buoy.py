@@ -7,10 +7,14 @@ IntTuners -> open+close with a 5x5 rect kernel -> contours -> centroid/area
 of the most likely blob -> normalize -> shm.red_buoy_results + debug posts.
 
 TPU re-design: the whole chain is ONE jitted graph (engine/chains.py
-red_buoy_chain) — colorspace, threshold, morphology and connected-component
-stats fuse on device; only the final scalars and (outside performance mode)
-the two debug masks come back to the host. Tuner values feed the graph as
-traced scalars, so live tuning never recompiles.
+red_buoy_fused) registered as the module's @device_fn — ModuleBase runs it
+through a 1-deep StreamExecutor, so frame N's H2D copy + compute overlap
+the bus read of frame N+1 (the fast path the reference's synchronous
+OpenCV loop, reference core/base.py:761-768, never had). Tuner values feed
+the graph as traced scalars, so live tuning never recompiles. In
+performance mode (`--enable-performance`) ``want_posts`` is False and XLA
+dead-code-eliminates the debug masks: only the detection scalars ever
+cross back to the host.
 """
 
 from __future__ import annotations
@@ -18,9 +22,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import shm
-from ..core.base import ModuleBase, sources
+from ..core.base import DeviceResultMeta, ModuleBase, device_fn
 from ..core.tuners import IntTuner
-from ..engine.chains import RedBuoyPipeline
+from ..engine.chains import red_buoy_fused
 from ..utils.draw import Color, draw_circle, draw_rect
 
 module_tuners = [
@@ -32,24 +36,25 @@ module_tuners = [
 class BuoyLAB(ModuleBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._pipeline = RedBuoyPipeline()
         # fresh results on startup: stale values from a previous run must
         # not read as a live detection
         shm.red_buoy_results.set(
             visible=False, center_x=0.0, center_y=0.0, area=0.0
         )
 
-    @sources("zed[forward]", "zed[normal]")
-    def process_img(self, image: np.ndarray, normal: np.ndarray):
-        tmin = np.int32(self.tuners["thresh_min"])
-        tmax = np.int32(self.tuners["thresh_max"])
+    @device_fn("zed[forward]", "zed[normal]")
+    def buoy_chain(self, image, normal, *, tuners, want_posts):
+        threshed, cleaned, best = red_buoy_fused(
+            image, tuners["thresh_min"], tuners["thresh_max"]
+        )
+        posts = (
+            {"image": image, "threshed": threshed, "threshed_cleaned": cleaned}
+            if want_posts
+            else {}
+        )
+        return best, posts
 
-        threshed, cleaned, best = self._pipeline.run_sync(image, tmin, tmax)
-
-
-        self.post("threshed", threshed, "GRAY")
-        self.post("threshed_cleaned", cleaned, "GRAY")
-
+    def on_device_result(self, best, posts, meta: DeviceResultMeta):
         found = bool(best["found"])
         if found:
             cy, cx = (float(v) for v in best["centroid"])
@@ -63,12 +68,21 @@ class BuoyLAB(ModuleBase):
             visible=found, center_x=nx, center_y=ny, area=area
         )
 
-        annotated = np.ascontiguousarray(image)
-        if found:
-            x, y, w, h = (int(v) for v in best["bbox"])
-            draw_rect(annotated, (x, y), (x + w, y + h), Color.GREEN, thickness=3)
-            draw_circle(annotated, (int(cx), int(cy)), 4, Color.YELLOW, thickness=-1)
-        self.post("contours", annotated)
+        if posts:
+            self.post("threshed", posts["threshed"], "GRAY")
+            self.post("threshed_cleaned", posts["threshed_cleaned"], "GRAY")
+            # materialized device arrays are read-only numpy views; the
+            # annotation overlay needs a writable copy
+            annotated = np.array(posts["image"], dtype=np.uint8, copy=True)
+            if found:
+                x, y, w, h = (int(v) for v in best["bbox"])
+                draw_rect(
+                    annotated, (x, y), (x + w, y + h), Color.GREEN, thickness=3
+                )
+                draw_circle(
+                    annotated, (int(cx), int(cy)), 4, Color.YELLOW, thickness=-1
+                )
+            self.post("contours", annotated)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated test runs load executables instead of
+# recompiling (the fast inner loop; first run after a clean checkout warms it)
+jax.config.update("jax_compilation_cache_dir", "/tmp/cuauv_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}"
 )

@@ -65,7 +65,23 @@ def test_stream_executor_pipelines_in_order():
         res = stream.submit((frame,), meta=i)
         if res is not None:
             outs.append(res)
-    outs.append(stream.flush())
+    outs.extend(stream.flush())
     assert [meta for _, meta in outs] == [0, 1, 2, 3, 4]
     for arr, meta in outs:
         assert (np.asarray(arr) == meta * 2.0).all()
+
+
+def test_stream_executor_depth_n():
+    pipe = DevicePipeline(lambda x: x.astype(np.float32) + 1.0)
+    stream = StreamExecutor(pipe, depth=3)
+    outs = []
+    for i in range(8):
+        res = stream.submit((np.full((2, 2), i, dtype=np.uint8),), meta=i)
+        if res is not None:
+            outs.append(res)
+        assert stream.pending <= 3
+    # first 3 submits fill the queue; the rest each pop the oldest
+    assert [meta for _, meta in outs] == [0, 1, 2, 3, 4]
+    outs.extend(stream.flush())
+    assert [meta for _, meta in outs] == list(range(8))
+    assert stream.pending == 0

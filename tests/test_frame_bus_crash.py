@@ -12,6 +12,7 @@ import signal
 import time
 
 import numpy as np
+import pytest
 
 from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import (
     BlockAccessor,
@@ -31,6 +32,7 @@ def _writer_proc(direction, start_value):
             writer.write_frame(i, np.full(SHAPE, i % 251, dtype=np.uint8))
 
 
+@pytest.mark.slow
 def test_writer_sigkill_mid_stream_then_recovery(unique_direction):
     ctx = mp.get_context("spawn")
 

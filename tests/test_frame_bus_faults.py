@@ -74,8 +74,13 @@ def test_caller_sees_no_faults_when_env_unset(unique_direction):
 
 
 _WRITER = r"""
-import os, sys, time
+import ctypes, os, signal, sys, time
 import numpy as np
+# die with the parent: a hard-killed pytest run must not leak producers
+# that keep writing into /dev/shm (PR_SET_PDEATHSIG = 1)
+ctypes.CDLL(None, use_errno=True).prctl(1, signal.SIGKILL, 0, 0, 0)
+if os.getppid() == 1:  # parent already gone before prctl landed
+    sys.exit(0)
 sys.path.insert(0, {repo!r})
 from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
 direction = sys.argv[1]

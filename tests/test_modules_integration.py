@@ -79,8 +79,28 @@ def test_red_buoy_module_full_product_path(unique_direction):
     src_thread.start()
     time.sleep(0.3)
 
+    # the synthetic source emits one unnamed plane, addressed by direction
+    # name; rebind the buoy device chain accordingly (the production zed
+    # source sends named planes and uses the stock @device_fn)
+    from cuauv_vision_pipeline_tpu.core.base import device_fn
+    from cuauv_vision_pipeline_tpu.engine.chains import red_buoy_fused
+
     class Buoy(red_buoy.BuoyLAB):
-        pass
+        @device_fn(unique_direction)
+        def buoy_chain(self, image, *, tuners, want_posts):
+            threshed, cleaned, best = red_buoy_fused(
+                image, tuners["thresh_min"], tuners["thresh_max"]
+            )
+            posts = (
+                {
+                    "image": image,
+                    "threshed": threshed,
+                    "threshed_cleaned": cleaned,
+                }
+                if want_posts
+                else {}
+            )
+            return best, posts
 
     module = Buoy(
         [unique_direction],
@@ -88,20 +108,6 @@ def test_red_buoy_module_full_product_path(unique_direction):
         fps=30,
         argv=[],
     )
-    # the synthetic source emits one unnamed plane, addressed by direction
-    # name; rebind the buoy handler accordingly (the production zed source
-    # sends named planes and uses the stock @sources handler)
-    import types
-
-    from cuauv_vision_pipeline_tpu.core.base import sources as sources_deco
-
-    def handle(self, image):
-        red_buoy.BuoyLAB.process_img(self, image, image)
-
-    module.handle = types.MethodType(
-        sources_deco(unique_direction)(handle), module
-    )
-    module.process_img = None  # disable the 2-alias handler
 
     quit_flag = threading.Event()
     try:

@@ -136,3 +136,20 @@ def test_overflow_capacity_keeps_raster_order():
     assert np.asarray(stats["valid"])[:8].all()
     xs = np.asarray(stats["bbox"])[:, 0]
     assert (np.diff(xs) > 0).all()
+
+
+@pytest.mark.slow
+def test_label_pallas_smoke_small():
+    """Direct labels-vs-XLA parity coverage for the Pallas CCL kernel (interpret mode on
+    CPU); the exhaustive shapes live in test_pallas_ccl.py; the fast suite
+    exercises label_pallas through the red_buoy chain tests."""
+    import numpy as np
+
+    from cuauv_vision_pipeline_tpu.ops.pallas.ccl_kernel import label_pallas
+
+    mask = np.zeros((40, 128), np.uint8)
+    mask[5:15, 10:30] = 255
+    mask[20:38, 90:120] = 255
+    labels = np.asarray(label_pallas(mask))
+    ref = np.asarray(ccl.label(mask))
+    np.testing.assert_array_equal(labels, ref)

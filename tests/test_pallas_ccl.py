@@ -4,6 +4,8 @@ the CPU test backend; the TPU path is exercised by bench.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 cv2 = pytest.importorskip("cv2")
 
 from cuauv_vision_pipeline_tpu.ops import ccl

@@ -69,6 +69,7 @@ def test_dp_frame_fanout_mask_chain():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_tp_sharded_yolo_forward():
     """Tensor-parallel conv channels: the YOLO forward under a (2, 4) mesh
     produces the same outputs as unsharded."""
@@ -95,6 +96,7 @@ def test_tp_sharded_yolo_forward():
             )
 
 
+@pytest.mark.slow
 def test_shard_map_full_chain_fanout():
     """Module fan-out (examples/multichip_fanout.py): the FULL detection
     chain — morphology + CCL + blob stats, not just the mask — runs per

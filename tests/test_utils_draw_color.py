@@ -78,6 +78,7 @@ def test_kmeans_separates_two_colors():
     assert (mask[:, :10] == 255).all() and (mask[:, 10:] == 0).all()
 
 
+@pytest.mark.slow
 def test_white_balance_reduces_cast():
     rng = np.random.default_rng(0)
     img = rng.integers(60, 120, (40, 40, 3), dtype=np.uint8)

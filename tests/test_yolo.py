@@ -18,6 +18,7 @@ from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
 from cuauv_vision_pipeline_tpu.models.yolo.utils import order_points
 
 
+@pytest.mark.slow
 def test_model_output_shapes():
     model, variables = create_model(num_classes=5, size="n", task="obb",
                                     image_size=160)
@@ -30,6 +31,7 @@ def test_model_output_shapes():
     assert out["box"][2].shape == (1, 5, 5, 64)  # stride 32
 
 
+@pytest.mark.slow
 def test_decode_fixed_shapes():
     model, variables = create_model(num_classes=3, size="n", task="detect",
                                     image_size=160)
@@ -114,6 +116,7 @@ def test_order_points():
     assert br == (48, 40)
 
 
+@pytest.mark.slow
 def test_predictor_end_to_end_random_weights():
     model = YoloModel(None, task="obb", image_size=160, max_det=8,
                       conf_thresh=0.0)
@@ -291,6 +294,7 @@ def test_tracker_obb_corner_boxes():
 # ── ultralytics .pt weight mapping ───────────────────────────────────────
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("task", ["obb", "detect"])
 def test_ultralytics_mapping_round_trip(task):
     """export (flax -> v8 tensor names) then import into a DIFFERENTLY
@@ -335,6 +339,7 @@ def test_ultralytics_export_key_names():
         assert key in state, key
 
 
+@pytest.mark.slow
 def test_load_pt_checkpoint_via_torch(tmp_path):
     """A .pt file written by torch.save with ultralytics-style contents
     loads through load_checkpoint and preserves tensors + metadata."""
@@ -366,6 +371,7 @@ def test_load_pt_checkpoint_via_torch(tmp_path):
 # ── round-2 fixes: dist2rbox, probiou NMS, letterbox ─────────────────────
 
 
+@pytest.mark.slow
 def test_obb_decode_matches_dist2rbox_reference():
     """decode_boxes for obb must agree numerically with an independent
     numpy implementation of ultralytics' dist2rbox on random logits

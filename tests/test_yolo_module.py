@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cuauv_vision_pipeline_tpu.core import shm
 
 

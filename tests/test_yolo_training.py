@@ -1,6 +1,7 @@
 """Training smoke: the YOLO train step reduces the loss on a fixed batch."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -11,6 +12,7 @@ from cuauv_vision_pipeline_tpu.models.yolo.train import (
 )
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_fixed_batch():
     model, variables = create_model(
         num_classes=3, size="n", task="detect", image_size=64
