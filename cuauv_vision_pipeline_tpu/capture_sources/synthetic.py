@@ -66,14 +66,23 @@ class Synthetic(CaptureSource):
         height: int = 1080,
         fps: int = 60,
         scene: str = "buoy",
+        precompute: int = 0,
     ):
         super().__init__()
         assert scene in ("buoy", "zed"), f"unknown scene {scene}"
 
+        def gen(k: int) -> np.ndarray:
+            return buoy_frame((height, width), k / max(fps, 1))
+
+        # precompute>0: render N frames up front and cycle them, so the
+        # producer's per-frame cost is pure bus memcpy — the max-rate feed
+        # for end-to-end throughput benches
+        pre = [gen(i) for i in range(precompute)] if precompute > 0 else None
+
         def udl(limiter: FpsLimiter, args):
             k = 0
             for t in limiter.rate(fps):
-                frame = buoy_frame((height, width), k / max(fps, 1))
+                frame = pre[k % len(pre)] if pre else gen(k)
                 k += 1
                 yield (direction, t, frame)
 
@@ -87,7 +96,7 @@ class Synthetic(CaptureSource):
             normal = np.full((height, width, 3), 0.5, np.float32)
             k = 0
             for t in limiter.rate(fps):
-                frame = buoy_frame((height, width), k / max(fps, 1))
+                frame = pre[k % len(pre)] if pre else gen(k)
                 k += 1
                 yield (
                     direction,
@@ -108,9 +117,20 @@ def main(argv=None) -> None:
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--fps", type=int, default=60)
     parser.add_argument("--scene", default="buoy")
+    parser.add_argument(
+        "--precompute",
+        type=int,
+        default=0,
+        help="render N frames up front and cycle them (max-rate producer)",
+    )
     args = parser.parse_args(argv)
     Synthetic(
-        args.direction, args.width, args.height, args.fps, args.scene
+        args.direction,
+        args.width,
+        args.height,
+        args.fps,
+        args.scene,
+        args.precompute,
     ).run_event_loop()
 
 

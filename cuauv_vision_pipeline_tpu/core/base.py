@@ -38,6 +38,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import glob
+import os
 import signal
 import threading
 import time
@@ -157,7 +158,7 @@ def sources(*source_specs: str):
     return _decorator
 
 
-def device_fn(*source_specs: str, depth: int = 1):
+def device_fn(*source_specs: str, depth: int = 1, async_fetch: bool = False):
     """Decorator marking a method as the module's jitted device chain.
 
     The TPU fast path the reference never had (its per-frame path copied
@@ -181,8 +182,10 @@ def device_fn(*source_specs: str, depth: int = 1):
     frame N's H2D copy + compute overlap the bus read of frame N+1, and the
     materialized result of frame N arrives at ``on_device_result(result,
     posts, meta)`` one submit later. ``depth > 1`` keeps several transfers
-    in flight (hides high-latency links at the cost of added result
-    latency).
+    in flight and ``async_fetch=True`` moves result readback to a worker
+    thread (hides high-latency links at the cost of added result latency).
+    Results are packed into one device vector so a whole result pytree
+    costs ONE device->host fetch (engine/executor.py pack_result).
     """
 
     def _alias_of(spec: str) -> str:
@@ -194,6 +197,7 @@ def device_fn(*source_specs: str, depth: int = 1):
     def _decorator(fn: Callable):
         fn._device_fn_aliases = tuple(_alias_of(s) for s in source_specs)
         fn._device_fn_depth = depth
+        fn._device_fn_async = async_fetch
         return fn
 
     return _decorator
@@ -649,6 +653,16 @@ class ModuleBase(ABC):
             help="disable posting to help with performance during competition runs",
         )
         parser.add_argument(
+            "--device",
+            type=int,
+            default=os.environ.get("CUAUV_TPU_DEVICE"),
+            help=(
+                "pin this module's device chain to jax.local_devices()[N] "
+                "(multi-chip hosts run one module per chip, the reference's "
+                "per-process GPU pinning re-done for a TPU pod slice)"
+            ),
+        )
+        parser.add_argument(
             "sources",
             nargs="*",
             type=str,
@@ -679,6 +693,9 @@ class ModuleBase(ABC):
         self._post_queue: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._post_color_spaces: Dict[str, str] = {}
         self._performance_enabled: bool = args.enable_performance
+        self._device_ordinal: Optional[int] = (
+            int(args.device) if args.device is not None else None
+        )
         self._retry = True
 
         # device-chain discovery result; populated on first use ("unset"
@@ -691,6 +708,7 @@ class ModuleBase(ABC):
             for alias in source.plane_aliases:
                 self._video_metadata.setdefault(alias, VideoSourceMetadata())
         self._current_direction = ""
+        self._current_acquisition_time = int(time.monotonic() * 1000)
 
     # -- public API ---------------------------------------------------------
 
@@ -723,6 +741,12 @@ class ModuleBase(ABC):
         """Rolling average camera->module latency (ms) for the current
         direction."""
         return self._video_metadata[self._current_direction].get_latency()
+
+    def camera_latency_ms(self) -> int:
+        """Camera-to-now latency (ms) of the frame(s) driving the current
+        handler — per-frame, not rolling; call at the end of a handler for
+        the camera-to-detection number."""
+        return int(time.monotonic() * 1000) - self._current_acquisition_time
 
     def normalize(self, coordinate: Tuple[float, float]) -> Tuple[float, float]:
         """(y, x) pixels -> (y, x) normalized for the current direction."""
@@ -771,6 +795,7 @@ class ModuleBase(ABC):
         for alias, frame in zip(aliases, frames):
             self._touch_metadata(alias, frame, acquisition_time)
             self._current_direction = alias
+            self._current_acquisition_time = acquisition_time
             self.process(alias, frame)
 
     # -- run loop -----------------------------------------------------------
@@ -796,12 +821,23 @@ class ModuleBase(ABC):
 
         if self._dev_spec == "unset":
             self._dev_spec = self._discover_device_fn(logger)
-        if self._dev_spec is not None:
+        if self._dev_spec is not None or self._device_ordinal is not None:
             # initialize the backend on the main thread before the loop
             # thread's first device_put: surfaces init errors early and
             # keeps plugin registration off the hot path
             import jax
 
+            if self._device_ordinal is not None:
+                local = jax.local_devices()
+                if not (0 <= self._device_ordinal < len(local)):
+                    raise RuntimeError(
+                        f"--device {self._device_ordinal} out of range: this "
+                        f"host has {len(local)} local device(s)"
+                    )
+                jax.config.update(
+                    "jax_default_device", local[self._device_ordinal]
+                )
+                logger(f"Pinned to device {local[self._device_ordinal]}", True)
             logger(
                 f"JAX backend: {jax.default_backend()} "
                 f"({len(jax.devices())} device(s))",
@@ -857,9 +893,9 @@ class ModuleBase(ABC):
 
     def _discover_device_fn(
         self, logger: Logger
-    ) -> Optional[Tuple[Callable, Tuple[str, ...], int]]:
+    ) -> Optional[Tuple[Callable, Tuple[str, ...], int, bool]]:
         """Find the module's @device_fn method (at most one)."""
-        found: Optional[Tuple[Callable, Tuple[str, ...], int]] = None
+        found: Optional[Tuple[Callable, Tuple[str, ...], int, bool]] = None
         for attr_name in dir(self):
             try:
                 maybe = getattr(self, attr_name)
@@ -875,17 +911,21 @@ class ModuleBase(ABC):
                     "@device_fn; a module has exactly one device chain"
                 )
             depth = getattr(target, "_device_fn_depth", 1)
-            found = (maybe, tuple(aliases), depth)
+            async_fetch = getattr(target, "_device_fn_async", False)
+            found = (maybe, tuple(aliases), depth, async_fetch)
             logger(
                 f"Registered device chain {attr_name} with aliases "
-                f"{aliases} (pipeline depth {depth})",
+                f"{aliases} (pipeline depth {depth}"
+                f"{', async fetch' if async_fetch else ''})",
                 True,
             )
         return found
 
     def _dispatch_device_result(self, done: Tuple[Any, Any]) -> None:
-        (result, posts), meta = done
+        (packed, posts), meta = done
+        result = self._dev_unpack(packed)
         self._current_direction = meta.aliases[0]
+        self._current_acquisition_time = meta.acquisition_time
         with tracer.span("on_device_result"):
             self.on_device_result(result, posts, meta)
 
@@ -902,12 +942,27 @@ class ModuleBase(ABC):
         dev_exec = None
         dev_aliases: Tuple[str, ...] = ()
         if dev is not None:
-            from ..engine.executor import DevicePipeline, StreamExecutor
+            from ..engine.executor import (
+                DevicePipeline,
+                StreamExecutor,
+                pack_result,
+                unpack_result,
+            )
 
-            dev_bound, dev_aliases, dev_depth = dev
+            dev_bound, dev_aliases, dev_depth, dev_async = dev
+            spec_cell: Dict[str, Any] = {}
+
+            def packed_fn(*frames, tuners, want_posts, _fn=dev_bound):
+                result, posts = _fn(*frames, tuners=tuners, want_posts=want_posts)
+                return pack_result(result, spec_cell), posts
+
             dev_exec = StreamExecutor(
-                DevicePipeline(dev_bound, static_argnames=("want_posts",)),
+                DevicePipeline(packed_fn, static_argnames=("want_posts",)),
                 depth=dev_depth,
+                async_fetch=dev_async,
+            )
+            self._dev_unpack = lambda packed: unpack_result(
+                packed, spec_cell["spec"]
             )
             # staging views must outlive the in-flight transfers
             self._module_manager.set_staging_depth(dev_depth + 1)
@@ -945,6 +1000,7 @@ class ModuleBase(ABC):
                             self._touch_metadata(alias, frame, acq_time)
                             if alias not in covered_aliases:
                                 self._current_direction = alias
+                                self._current_acquisition_time = acq_time
                                 self.process(alias, frame)
                     else:
                         # single-plane frames also honor a bus plane name /
@@ -965,6 +1021,7 @@ class ModuleBase(ABC):
                             self._touch_metadata(alias, image, acq_time)
                         if alias not in covered_aliases:
                             self._current_direction = alias
+                            self._current_acquisition_time = acq_time
                             self.process(alias, image)
                 elif message.status == ReadStatus.NO_NEW_FRAME:
                     if self._video_metadata[source.name].mark_as_dead():
@@ -984,6 +1041,9 @@ class ModuleBase(ABC):
                     )
                 if not missing and any(a in updated_aliases for a in aliases):
                     imgs = [frame_cache[a][0] for a in aliases]
+                    self._current_acquisition_time = max(
+                        frame_cache[a][1] for a in aliases
+                    )
                     with tracer.span("handler", fn=handler.__name__):
                         handler(*imgs)
 
@@ -1000,20 +1060,24 @@ class ModuleBase(ABC):
                         submit_time=time.monotonic(),
                     )
                     with tracer.span("device_submit"):
-                        done = dev_exec.submit(
+                        ready = dev_exec.submit(
                             frames,
                             meta=meta,
                             tuners=self._module_manager.tuner_scalars(),
                             want_posts=not self._performance_enabled,
                         )
-                    if done is not None:
+                    for done in ready:
                         self._dispatch_device_result(done)
                 elif dev_exec.pending:
                     # no new bundle this tick — the device had a full frame
                     # period to finish, so drain rather than hold the result
-                    done = dev_exec.flush_one()
-                    if done is not None:
-                        self._dispatch_device_result(done)
+                    if dev_exec.async_fetch:
+                        for done in dev_exec.poll():
+                            self._dispatch_device_result(done)
+                    else:
+                        done = dev_exec.flush_one()
+                        if done is not None:
+                            self._dispatch_device_result(done)
 
             with tracer.span("drain_posts", n=len(self._post_queue)):
                 self._drain_post_queue()
@@ -1022,6 +1086,7 @@ class ModuleBase(ABC):
         if dev_exec is not None:
             for done in dev_exec.flush():
                 self._dispatch_device_result(done)
+            dev_exec.close()
             self._drain_post_queue()
 
     def _plane_aliases_for(self, message: VideoMessage) -> Tuple[str, ...]:
@@ -1041,10 +1106,13 @@ class ModuleBase(ABC):
         return tuple(f"{source.name}[{i}]" for i in range(len(image)))
 
     def _drain_post_queue(self) -> None:
+        # posts carry the CAMERA acquisition time of the frame that produced
+        # them, so downstream readers can compute camera->GUI latency
+        # (reference base.py:521-551, modules/poster.py:56-72)
         for idx, (name, data) in enumerate(self._post_queue.items()):
             color_space = self._post_color_spaces.get(name, "BGR")
             self._module_manager.post(
-                f"{name}#{color_space}", idx, int(time.monotonic() * 1000), data
+                f"{name}#{color_space}", idx, self._current_acquisition_time, data
             )
         self._post_queue.clear()
         self._post_color_spaces.clear()

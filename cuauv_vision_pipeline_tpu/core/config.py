@@ -22,6 +22,11 @@ Example vehicle.yaml:
       red_buoy: [zed]
       yolo: [zed]
       gate: [forward]
+    module_devices:        # optional: pin module@source to a chip ordinal
+      yolo:
+        zed: 0
+      red_buoy:
+        zed: 1
 """
 
 from __future__ import annotations
@@ -68,6 +73,12 @@ class _Vehicle:
         self.vision_modules: Dict[str, List[str]] = {
             name: list(sources)
             for name, sources in data.get("vision_modules", {}).items()
+        }
+        # module -> {source -> device ordinal} (multi-chip hosts pin each
+        # module process to one chip; see ModuleBase --device)
+        self.module_devices: Dict[str, Dict[str, int]] = {
+            name: {src: int(dev) for src, dev in (mapping or {}).items()}
+            for name, mapping in data.get("module_devices", {}).items()
         }
 
 

@@ -83,12 +83,16 @@ class ModuleToggler:
         return f"{module}_{source}"
 
     def _module_argv(self, module: str, source: str) -> Optional[list]:
-        return [
+        argv = [
             sys.executable,
             "-m",
             f"cuauv_vision_pipeline_tpu.modules.{module}",
             source,
         ]
+        device = vehicle.module_devices.get(module, {}).get(source)
+        if device is not None:
+            argv += ["--device", str(device)]
+        return argv
 
     def _start(self, module: str, source: str) -> bool:
         key = self._key(module, source)

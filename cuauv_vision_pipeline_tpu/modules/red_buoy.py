@@ -39,11 +39,15 @@ class BuoyLAB(ModuleBase):
         # fresh results on startup: stale values from a previous run must
         # not read as a live detection
         shm.red_buoy_results.set(
-            visible=False, center_x=0.0, center_y=0.0, area=0.0
+            visible=False, center_x=0.0, center_y=0.0, area=0.0, latency_ms=0.0
         )
 
-    @device_fn("zed[forward]", "zed[normal]")
-    def buoy_chain(self, image, normal, *, tuners, want_posts):
+    # only the forward plane ships to the device (the reference module also
+    # took zed[normal] but never used it, reference modules/red_buoy.py:18 —
+    # transferring it would waste 24.9 MB/frame of H2D); depth-2 + async
+    # fetch keep transfer, compute, and readback all overlapped
+    @device_fn("zed[forward]", depth=2, async_fetch=True)
+    def buoy_chain(self, image, *, tuners, want_posts):
         threshed, cleaned, best = red_buoy_fused(
             image, tuners["thresh_min"], tuners["thresh_max"]
         )
@@ -65,7 +69,11 @@ class BuoyLAB(ModuleBase):
             ny = nx = 0.0
 
         shm.red_buoy_results.set(
-            visible=found, center_x=nx, center_y=ny, area=area
+            visible=found,
+            center_x=nx,
+            center_y=ny,
+            area=area,
+            latency_ms=float(meta.latency_ms()),
         )
 
         if posts:

@@ -129,6 +129,14 @@ class Yolo(ModuleBase, HandlerMixin):
             else:
                 self.handlers[det].post_grayscale(image)
 
+        # camera-to-detection telemetry: seq on this group counts processed
+        # frames; latency covers capture -> bus -> read -> infer -> handlers
+        self._frames_processed = getattr(self, "_frames_processed", 0) + 1
+        shm.yolo_status.set(
+            latency_ms=float(self.camera_latency_ms()),
+            frames=self._frames_processed,
+        )
+
 
 if __name__ == "__main__":
     Yolo(video_sources=["zed"], tuners=TUNERS, handlers=HANDLERS)()

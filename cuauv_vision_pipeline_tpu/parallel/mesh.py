@@ -59,9 +59,15 @@ def param_shardings(mesh: Mesh, params: Any, min_channels: int = 64) -> Any:
     """
     tp = mesh.shape["model"]
 
-    def rule(path_unused, leaf):
+    def rule(path, leaf):
         shape = getattr(leaf, "shape", ())
-        if tp > 1 and len(shape) >= 1 and shape[-1] >= min_channels and shape[-1] % tp == 0:
+        if tp <= 1 or not shape or shape[-1] < min_channels or shape[-1] % tp:
+            return NamedSharding(mesh, P())
+        # only conv/dense KERNELS shard over 'model'; 1-D leaves (biases,
+        # BN scales/stats) stay replicated — sharding them saves nothing
+        # and forces GSPMD to re-gather around every batch-norm
+        names = {getattr(k, "key", getattr(k, "name", "")) for k in path}
+        if len(shape) >= 2 and "kernel" in names:
             spec = [None] * (len(shape) - 1) + ["model"]
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())

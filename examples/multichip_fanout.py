@@ -38,45 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from cuauv_vision_pipeline_tpu.ops import ccl
-from cuauv_vision_pipeline_tpu.ops import color as C
-from cuauv_vision_pipeline_tpu.ops import morphology as M
-from cuauv_vision_pipeline_tpu.ops import threshold as T
+from cuauv_vision_pipeline_tpu.parallel.fanout import make_fanout
 from cuauv_vision_pipeline_tpu.parallel.mesh import make_mesh
-
-
-def chain_one(frame: jnp.ndarray, tmin: jnp.ndarray, tmax: jnp.ndarray):
-    """Full red_buoy chain on ONE [H, W, 3] frame (engine/chains.py)."""
-    kernel = M.rect_kernel(5)
-    mask = T.in_range(C.bgr_to_lab(frame)[..., 1], tmin, tmax)
-    cleaned = M.close_morph(M.open_morph(mask, kernel), kernel)
-    labels = ccl.label_fast(cleaned > 0)
-    stats = ccl.component_stats(labels, max_components=8)
-    best = jnp.argmax(stats["area"])
-    return {
-        "area": stats["area"][best],
-        "centroid": stats["centroid"][best],
-        "bbox": stats["bbox"][best],
-    }
-
-
-def make_fanout(mesh):
-    """jit(shard_map(chain)) — each device gets one camera's frame."""
-
-    def per_device(frames, tmin, tmax):
-        # block shape [1, H, W, 3]: this device's single camera
-        return jax.tree.map(
-            lambda x: x[None], chain_one(frames[0], tmin, tmax)
-        )
-
-    fan = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P("data"), P(), P()),
-        out_specs=P("data"),
-        check_vma=False,  # pallas_call outputs carry no vma annotations
-    )
-    return jax.jit(fan)
 
 
 def main(argv=None) -> None:

@@ -380,3 +380,35 @@ def test_shm_cross_process_offsets():
         assert g.aa_first.get() == 11
     finally:
         shm.delete_group(name)
+
+
+def test_shm_schema_upgrade_replaces_stale_file(tmp_path):
+    """A group file created with an older (smaller) schema is replaced on
+    attach when the declared schema grew — new fields become writable
+    instead of raising, and old fields keep working."""
+    import json as _json
+    import os
+    import struct as _struct
+
+    from cuauv_vision_pipeline_tpu.core import shm as _shm
+
+    name = "upgrade_test_group"
+    path = _shm.SHM_STUB + name
+    if path in list(_shm._group_cache):
+        del _shm._group_cache[path]
+    # hand-craft an old-layout file with only field 'a'
+    old_schema = {"a": "float"}
+    blob = _json.dumps(old_schema).encode()
+    with open(path, "wb") as f:
+        f.write(_struct.pack(_shm._HEADER_FMT, _shm._MAGIC, 0, len(blob)))
+        f.write(blob)
+        f.write(_struct.pack("<d", 7.5))
+    try:
+        g = _shm.Group(name, {"a": "float", "b": ["int", 3]})
+        assert g.get_field("b") == 3  # new field present with default
+        g.set_field("b", 9)
+        assert g.get_field("b") == 9
+        g2 = _shm.Group(name, {"a": "float", "b": ["int", 3]})
+        assert g2.get_field("b") == 9  # attacher sees the upgraded layout
+    finally:
+        os.unlink(path)

@@ -62,9 +62,7 @@ def test_stream_executor_pipelines_in_order():
     outs = []
     for i in range(5):
         frame = np.full((4, 4), i, dtype=np.uint8)
-        res = stream.submit((frame,), meta=i)
-        if res is not None:
-            outs.append(res)
+        outs.extend(stream.submit((frame,), meta=i))
     outs.extend(stream.flush())
     assert [meta for _, meta in outs] == [0, 1, 2, 3, 4]
     for arr, meta in outs:
@@ -76,12 +74,58 @@ def test_stream_executor_depth_n():
     stream = StreamExecutor(pipe, depth=3)
     outs = []
     for i in range(8):
-        res = stream.submit((np.full((2, 2), i, dtype=np.uint8),), meta=i)
-        if res is not None:
-            outs.append(res)
+        outs.extend(stream.submit((np.full((2, 2), i, dtype=np.uint8),), meta=i))
         assert stream.pending <= 3
     # first 3 submits fill the queue; the rest each pop the oldest
     assert [meta for _, meta in outs] == [0, 1, 2, 3, 4]
     outs.extend(stream.flush())
     assert [meta for _, meta in outs] == list(range(8))
     assert stream.pending == 0
+
+
+def test_stream_executor_async_fetch_ordered():
+    pipe = DevicePipeline(lambda x: x.astype(np.float32) - 1.0)
+    stream = StreamExecutor(pipe, depth=2, async_fetch=True)
+    outs = []
+    for i in range(10):
+        outs.extend(stream.submit((np.full((2, 2), i, dtype=np.uint8),), meta=i))
+        assert stream.pending <= 3  # depth + the one being fetched
+    outs.extend(stream.flush())
+    stream.close()
+    assert [meta for _, meta in outs] == list(range(10))
+    for arr, meta in outs:
+        assert (np.asarray(arr) == meta - 1.0).all()
+
+
+def test_pack_unpack_result_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.engine.executor import (
+        pack_result,
+        unpack_result,
+    )
+
+    spec_cell = {}
+
+    def fn(x):
+        result = {
+            "area": jnp.int32(2_073_600),
+            "neg": jnp.int32(-7),
+            "centroid": jnp.asarray([1.5, -2.25], jnp.float32),
+            "found": jnp.bool_(True),
+            "small": jnp.uint8(200),
+            "half": jnp.float16(0.5),
+            "bbox": jnp.asarray([[1, 2], [3, 4]], jnp.int32),
+        }
+        return pack_result(result, spec_cell)
+
+    packed = np.asarray(jax.jit(fn)(jnp.zeros(1)))
+    out = unpack_result(packed, spec_cell["spec"])
+    assert out["area"] == 2_073_600 and out["area"].dtype == np.int32
+    assert out["neg"] == -7
+    np.testing.assert_array_equal(out["centroid"], [1.5, -2.25])
+    assert bool(out["found"]) is True
+    assert out["small"] == 200 and out["small"].dtype == np.uint8
+    assert out["half"] == np.float16(0.5)
+    np.testing.assert_array_equal(out["bbox"], [[1, 2], [3, 4]])

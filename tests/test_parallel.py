@@ -98,12 +98,12 @@ def test_tp_sharded_yolo_forward():
 
 @pytest.mark.slow
 def test_shard_map_full_chain_fanout():
-    """Module fan-out (examples/multichip_fanout.py): the FULL detection
+    """Module fan-out (parallel/fanout.py): the FULL detection
     chain — morphology + CCL + blob stats, not just the mask — runs per
     device under shard_map; each camera's result matches the single-image
     chain exactly."""
     import jax.numpy as jnp
-    from examples.multichip_fanout import chain_one, make_fanout
+    from cuauv_vision_pipeline_tpu.parallel.fanout import chain_one, make_fanout
 
     mesh = make_mesh(8)
     rng = np.random.default_rng(2)
