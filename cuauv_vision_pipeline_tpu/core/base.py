@@ -389,9 +389,14 @@ class ModuleManager:
 
 class ModuleReader:
     """Discovers a module's post/tune blocks, polls them, and pushes tuner
-    edits back (the WebGUI side of the bus)."""
+    edits back (the WebGUI side of the bus).
 
-    def __init__(self, module_name: str):
+    Unlike the reference (which discovers only at construction, reference
+    base.py:325-364), the poll loop RE-discovers: post/tune blocks the
+    module creates later are picked up within ``rediscover_every_s``.
+    """
+
+    def __init__(self, module_name: str, rediscover_every_s: float = 1.0):
         # set before any raise so __del__ is safe on failed construction
         self._thread: Optional[threading.Thread] = None
         if module_name not in ModuleReader.get_active_modules():
@@ -412,6 +417,7 @@ class ModuleReader:
         self._all_tuners: Dict[str, Tuple[int, BlockAccessor, TunerBase]] = {}
         self._tuner_guard = False
         self._framework_deleted = False
+        self._rediscover_every_s = rediscover_every_s
 
         for post_block in self.active_posts:
             idx, name, color_space = self.parse_post_name(post_block)
@@ -419,6 +425,30 @@ class ModuleReader:
         for tune_block in self.active_tuners:
             idx, tuner, name = self.parse_tune_name(tune_block)
             self._all_tuners[name] = (idx, BlockAccessor(tune_block), tuner)
+
+    @property
+    def known_posts(self) -> List[str]:
+        """Post names currently tracked (grows as the module posts more)."""
+        return list(self._all_posts)
+
+    @property
+    def known_tuners(self) -> List[str]:
+        return list(self._all_tuners)
+
+    def _rediscover(self, exit_stack: contextlib.ExitStack) -> None:
+        """Pick up post/tune blocks created after construction."""
+        for post_block in self.active_posts:
+            idx, name, color_space = self.parse_post_name(post_block)
+            if name not in self._all_posts:
+                accessor = BlockAccessor(post_block)
+                exit_stack.enter_context(accessor)
+                self._all_posts[name] = (idx, accessor, color_space)
+        for tune_block in self.active_tuners:
+            idx, tuner, name = self.parse_tune_name(tune_block)
+            if name not in self._all_tuners:
+                accessor = BlockAccessor(tune_block)
+                exit_stack.enter_context(accessor)
+                self._all_tuners[name] = (idx, accessor, tuner)
 
     @classmethod
     def get_active_modules(cls) -> List[str]:
@@ -504,10 +534,17 @@ class ModuleReader:
                 exit_stack.enter_context(accessor)
 
             wait_time = 1.0 / fps
+            last_scan = time.monotonic()
             while not self._quit_flag.is_set():
                 tick_start = time.monotonic()
 
-                for name, (idx, accessor, color_space) in self._all_posts.items():
+                if tick_start - last_scan >= self._rediscover_every_s:
+                    last_scan = tick_start
+                    self._rediscover(exit_stack)
+
+                for name, (idx, accessor, color_space) in list(
+                    self._all_posts.items()
+                ):
                     status, data, _ = accessor.read_frame()
                     if status == ReadStatus.SUCCESS and data is not None:
                         for udl in self._post_udls:
@@ -520,7 +557,9 @@ class ModuleReader:
                         self._quit_flag.set()
 
                 resent = False
-                for name, (idx, accessor, tuner) in self._all_tuners.items():
+                for name, (idx, accessor, tuner) in list(
+                    self._all_tuners.items()
+                ):
                     status, data, _ = accessor.read_frame()
                     if (
                         self._tuner_guard or status == ReadStatus.SUCCESS

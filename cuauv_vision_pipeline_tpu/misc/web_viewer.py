@@ -34,17 +34,12 @@ _latest = {}  # (module, post) -> jpeg bytes
 def _reader_for(module: str) -> ModuleReader:
     with _lock:
         reader = _readers.get(module)
-        if reader is not None:
-            # ModuleReader discovers blocks only at construction (reference
-            # base.py:325-364); rebuild when the module grew new posts/tuners
-            known = set(reader._all_posts) | set(reader._all_tuners)
-            current = set(
-                reader.parse_post_name(p)[1] for p in reader.active_posts
-            ) | set(reader.parse_tune_name(t)[2] for t in reader.active_tuners)
-            if known != current or reader.framework_deleted:
-                reader.unblock()
-                _readers.pop(module, None)
-                reader = None
+        if reader is not None and reader.framework_deleted:
+            # the reader itself rediscovers new post/tune blocks; only a
+            # torn-down module framework needs a rebuild
+            reader.unblock()
+            _readers.pop(module, None)
+            reader = None
         if reader is None:
             reader = ModuleReader(module)
 

@@ -412,3 +412,42 @@ def test_shm_schema_upgrade_replaces_stale_file(tmp_path):
         assert g2.get_field("b") == 9  # attacher sees the upgraded layout
     finally:
         os.unlink(path)
+
+
+def test_module_reader_rediscovers_new_blocks(unique_direction):
+    """Post/tune blocks created AFTER ModuleReader construction are picked
+    up by the poll loop (the reference discovered only at construction,
+    reference base.py:325-364)."""
+    import time
+
+    import numpy as np
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleReader
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+
+    mod = f"Fake-on-{unique_direction}"
+    base = f"module_{mod}"
+    img = np.zeros(16, np.uint8)
+    seen = set()
+    with BlockAccessor(f"{base}_post%0%first#GRAY", 64) as p0:
+        p0.write_frame(1, img)
+        reader = ModuleReader(mod, rediscover_every_s=0.05)
+        reader.register_post_udl(lambda m, n, i, data, cs: seen.add(n))
+        reader.run_forever(fps=100)
+        try:
+            deadline = time.monotonic() + 5
+            while "first" not in seen and time.monotonic() < deadline:
+                p0.write_frame(int(time.monotonic() * 1000), img)
+                time.sleep(0.02)
+            assert "first" in seen
+            assert reader.known_posts == ["first"]
+            # the module grows a new post block mid-run
+            with BlockAccessor(f"{base}_post%1%second#BGR", 64) as p1:
+                deadline = time.monotonic() + 5
+                while "second" not in seen and time.monotonic() < deadline:
+                    p1.write_frame(int(time.monotonic() * 1000), img)
+                    time.sleep(0.02)
+        finally:
+            reader.unblock()
+    assert {"first", "second"} <= seen
+    assert set(reader.known_posts) == {"first", "second"}
