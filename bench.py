@@ -36,7 +36,7 @@ import numpy as np
 
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "12"))
 WARM_S = float(os.environ.get("BENCH_WARM_S", "900"))
-CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,t,h").split(",")
+CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,s,t,h").split(",")
 
 RESULTS: list = []
 
@@ -437,6 +437,51 @@ def config5_yolo_latency() -> None:
         stop(mod, flir, zed)
 
 
+def stereo_fanin_bench() -> None:
+    """Batched CCL fan-in: both ZED eyes in ONE device dispatch (the
+    red_buoy_stereo module's chain), device-resident pairs/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
+    from cuauv_vision_pipeline_tpu.modules.red_buoy_stereo import BuoyStereo
+
+    H, W = 720, 1280  # production ZED HD720
+    frames = [
+        (
+            jax.device_put(buoy_frame((H, W), t / 7.0)),
+            jax.device_put(buoy_frame((H, W), t / 5.0 + 1)),
+        )
+        for t in range(4)
+    ]
+    jax.block_until_ready(frames)
+
+    module = BuoyStereo.__new__(BuoyStereo)  # chain only; no bus setup
+    chain = jax.jit(
+        lambda a, b, tmin, tmax: BuoyStereo.stereo_chain(
+            module, a, b, tuners={"thresh_min": tmin, "thresh_max": tmax},
+            want_posts=False,
+        ),
+        static_argnames=(),
+    )
+    tmin, tmax = np.int32(140), np.int32(255)
+    out = chain(*frames[0], tmin, tmax)
+    jax.block_until_ready(out)
+
+    ITERS = 200
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = chain(*frames[i % 4], tmin, tmax)
+    jax.block_until_ready(out)
+    pairs_per_s = ITERS / (time.perf_counter() - t0)
+    emit(
+        "red_buoy_stereo_720p_pairs_per_sec",
+        round(pairs_per_s, 2),
+        "stereo pairs/sec",
+        note="both eyes labeled in one batched Pallas CCL dispatch, device-resident",
+    )
+
+
 def transfer_bench() -> None:
     """H2D transfer: single 1080p BGR frame (6.2 MB), sync and pipelined.
     Grounds the 'what would PCIe do' derivation for the e2e numbers."""
@@ -532,6 +577,7 @@ def main() -> None:
         "3": ("config 3: bins", config3_bins),
         "4": ("config 4: preprocess chain", config4_preprocess_chain),
         "5": ("config 5: yolo p50 latency", config5_yolo_latency),
+        "s": ("stereo fan-in chain", stereo_fanin_bench),
         "t": ("H2D transfer", transfer_bench),
     }
     for key in CONFIGS:

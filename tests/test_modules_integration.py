@@ -11,6 +11,7 @@ import pytest
 
 MODULES = [
     "cuauv_vision_pipeline_tpu.modules.red_buoy",
+    "cuauv_vision_pipeline_tpu.modules.red_buoy_stereo",
     "cuauv_vision_pipeline_tpu.modules.gate",
     "cuauv_vision_pipeline_tpu.modules.bins",
     "cuauv_vision_pipeline_tpu.modules.yolo",
@@ -133,3 +134,60 @@ def test_red_buoy_module_full_product_path(unique_direction):
     # normalized center within the frame
     assert abs(shm.red_buoy_results.center_x.get()) < 0.6
     assert abs(shm.red_buoy_results.center_y.get()) < 0.6
+
+
+def test_red_buoy_stereo_batched_fanin(unique_direction):
+    """Both ZED eyes through ONE batched device dispatch (Pallas CCL fan-in):
+    the stereo module detects a disc in the left eye and none in the right."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import (
+        BlockAccessor,
+        frame_bytes,
+    )
+    from cuauv_vision_pipeline_tpu.core.log import log
+    from cuauv_vision_pipeline_tpu.modules.red_buoy_stereo import (
+        BuoyStereo,
+        module_tuners,
+    )
+
+    shm.red_buoy_stereo_results.set(visible_left=False, visible_right=False)
+
+    H, W = 120, 160
+    left = buoy_frame((H, W), 0.0)  # has the red disc
+    right = np.full((H, W, 3), (90, 120, 60), np.uint8)  # no red at all
+
+    tuners = [type(t)(t.name, 140 if t.name == "thresh_min" else 255, 0, 255)
+              for t in module_tuners]
+    module = BuoyStereo([unique_direction], tuners, fps=30, argv=[])
+
+    size = frame_bytes(((H, W, 3), np.uint8), ((H, W, 3), np.uint8))
+    quit_flag = threading.Event()
+    with BlockAccessor(unique_direction, size) as writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline:
+                    writer.write_frame(
+                        int(time.monotonic() * 1000),
+                        [("forward", left), ("forward2", right)],
+                    )
+                    if shm.red_buoy_stereo_results.visible_left.get():
+                        break
+                    time.sleep(0.05)
+            finally:
+                quit_flag.set()
+                loop.join(timeout=30)
+
+    res = shm.red_buoy_stereo_results.get()
+    assert res.visible_left, "left eye never detected the disc"
+    assert not res.visible_right, "right eye false-positived"
+    assert res.area_left > 20
+    assert abs(res.center_x_left) < 0.6 and abs(res.center_y_left) < 0.6

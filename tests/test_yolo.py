@@ -512,3 +512,41 @@ def test_preprocess_letterboxes_and_summarize_inverts():
     assert entry["box"]["y1"] == pytest.approx(0.0, abs=1e-3)
     assert entry["box"]["x2"] == pytest.approx(w, abs=1e-3)
     assert entry["box"]["y2"] == pytest.approx(h, abs=1e-3)
+
+
+@pytest.mark.slow
+def test_load_pt_ultralytics_fixture_with_dfl_and_strictness(tmp_path):
+    """An ultralytics-faithful fixture (incl. the frozen DFL conv buffer
+    real checkpoints carry, reference modules/yolo.py:17,44-58) imports
+    totally — and a fixture with a missing tensor warns loudly, naming the
+    file."""
+    torch = pytest.importorskip("torch")
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import (
+        export_ultralytics_state,
+        load_checkpoint,
+    )
+
+    _, variables = create_model(3, size="n", task="obb", image_size=64)
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in export_ultralytics_state(variables, "obb").items()}
+    # real ultralytics checkpoints include the frozen DFL projection conv
+    state["model.22.dfl.conv.weight"] = torch.arange(
+        16, dtype=torch.float32
+    ).reshape(1, 16, 1, 1)
+
+    path = tmp_path / "obb_dfl.pt"
+    torch.save({"model": state, "task": "obb",
+                "names": {0: "a", 1: "b", 2: "c"}}, path)
+    model, loaded, meta = load_checkpoint(str(path))
+    # total import: every expected tensor restored bit-exactly
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # strictness: drop one tensor -> loud warning naming the file
+    # (not the stem — that one is the v8-layout sentinel and raises)
+    del state["model.2.cv1.conv.weight"]
+    bad = tmp_path / "obb_partial.pt"
+    torch.save({"model": state, "task": "obb",
+                "names": {0: "a", 1: "b", 2: "c"}}, bad)
+    with pytest.warns(RuntimeWarning, match="obb_partial.pt"):
+        load_checkpoint(str(bad))
