@@ -114,19 +114,31 @@ class YoloModel:
         arrays already live on the default device."""
         return self
 
-    def predict(self, image: np.ndarray) -> List[Dict]:
-        h, w = image.shape[:2]
-        decoded = self._forward(self.variables, jnp.asarray(image))
-        decoded = jax.tree.map(np.asarray, decoded)
-        # Undo preprocess()'s letterbox: orig = (model_coord - pad) / scale.
+    def device_decode(self, image) -> Dict:
+        """Traced-friendly forward+decode (image may be a tracer inside an
+        outer jit, e.g. a module's @device_fn chain). Returns the raw
+        fixed-shape decode dict of device arrays."""
+        return self._forward(self.variables, image)
+
+    def summarize_decoded(
+        self, decoded_np: Dict, orig_hw: Tuple[int, int]
+    ) -> List[Dict]:
+        """Host half: undo preprocess()'s letterbox (orig = (model_coord -
+        pad) / scale) and format ultralytics-style summary dicts."""
+        h, w = orig_hw
         scale, left, top, _, _ = letterbox_params(h, w, self.image_size)
         return summarize(
-            decoded,
+            decoded_np,
             self.class_names,
             (1.0 / scale, 1.0 / scale),
             self.task,
             pad=(left, top),
         )
+
+    def predict(self, image: np.ndarray) -> List[Dict]:
+        decoded = self.device_decode(jnp.asarray(image))
+        decoded = jax.tree.map(np.asarray, decoded)
+        return self.summarize_decoded(decoded, image.shape[:2])
 
     def track(self, image: np.ndarray, verbose: bool = False) -> List[_Result]:
         summary = self.predict(image)

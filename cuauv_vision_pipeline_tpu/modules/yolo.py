@@ -21,7 +21,7 @@ from typing import Callable, Dict, List, Union
 import numpy as np
 
 from ..core import shm, tuners
-from ..core.base import ModuleBase, sources
+from ..core.base import ModuleBase, device_fn
 from ..core.handlers import HandlerMixin
 from ..handlers.bins import BinsOBB
 from ..handlers.gate import GateOBB
@@ -101,13 +101,50 @@ class Yolo(ModuleBase, HandlerMixin):
             == direction
         )
 
-    @sources("zed[forward]")
-    def fwd_process(self, image: np.ndarray):
+    @device_fn("zed[forward]", depth=2, async_fetch=True)
+    def detect_chain(self, image, *, tuners, want_posts):
+        """Forward + DFL decode + NMS as one device graph; the fixed-shape
+        decode dict rides back in a single packed fetch. Host keeps the
+        tracker, class bucketing, and handlers (on_device_result)."""
+        import jax.numpy as jnp  # deferred: keep module import host-only
+
+        decoded = dict(self.model.device_decode(image))
+        h, w = image.shape[:2]
+        decoded["orig_h"] = jnp.int32(h)
+        decoded["orig_w"] = jnp.int32(w)
+        posts = {"image": image} if want_posts else {}
+        return decoded, posts
+
+    def on_device_result(self, decoded, posts, meta):
         direction = "forward"
-        self.post("original image", image)
+        h = int(decoded.pop("orig_h"))
+        w = int(decoded.pop("orig_w"))
+        results = self.model.summarize_decoded(decoded, (h, w))
+        self.model._tracker.update(results)
 
-        results = self.model.track(image, verbose=False)[0].summary()
+        image = posts.get("image")
+        if image is None:  # performance mode: handlers never post, so a
+            image = self._dummy_frame((h, w))  # cached stand-in suffices
+        else:
+            self.post("original image", image)
 
+        self._dispatch_detections(direction, image, results)
+
+        # camera-to-detection telemetry: seq on this group counts processed
+        # frames; latency covers capture -> bus -> H2D -> infer -> handlers
+        self._frames_processed = getattr(self, "_frames_processed", 0) + 1
+        shm.yolo_status.set(
+            latency_ms=float(meta.latency_ms()),
+            frames=self._frames_processed,
+        )
+
+    def _dummy_frame(self, hw) -> np.ndarray:
+        cached = getattr(self, "_dummy", None)
+        if cached is None or cached.shape[:2] != hw:
+            self._dummy = np.zeros((*hw, 3), np.uint8)
+        return self._dummy
+
+    def _dispatch_detections(self, direction, image, results) -> None:
         buckets: Dict[str, Dict[str, List[DetectionData]]] = {
             det: {cls: [] for cls in classes}
             for det, classes in DETECTORS.items()
@@ -126,16 +163,8 @@ class Yolo(ModuleBase, HandlerMixin):
             if self._active(det):
                 args = [buckets[det][cls] for cls in classes]
                 self.handlers[det].process(direction, image.copy(), *args)
-            else:
+            elif not self._performance_enabled:
                 self.handlers[det].post_grayscale(image)
-
-        # camera-to-detection telemetry: seq on this group counts processed
-        # frames; latency covers capture -> bus -> read -> infer -> handlers
-        self._frames_processed = getattr(self, "_frames_processed", 0) + 1
-        shm.yolo_status.set(
-            latency_ms=float(self.camera_latency_ms()),
-            frames=self._frames_processed,
-        )
 
 
 if __name__ == "__main__":

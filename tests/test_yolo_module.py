@@ -1,5 +1,13 @@
-"""YOLO module end-to-end: fwd_process with the real predictor and handlers."""
+"""YOLO module end-to-end: the @device_fn chain with real predictor/handlers.
 
+Drives the module's actual hot path — detect_chain (device forward +
+decode) then on_device_result (host summarize + tracker + handler
+dispatch) — the same split ModuleBase's StreamExecutor uses.
+"""
+
+import time
+
+import jax
 import numpy as np
 import pytest
 
@@ -38,7 +46,24 @@ def _make_module():
     return module, posts
 
 
-def test_fwd_process_dispatches_all_active_handlers():
+def _run_chain(module, img, want_posts=True):
+    """One frame through the real split: device chain -> host dispatch."""
+    from cuauv_vision_pipeline_tpu.core.base import DeviceResultMeta
+
+    decoded, chain_posts = module.detect_chain(
+        img, tuners={}, want_posts=want_posts
+    )
+    decoded = jax.tree.map(np.asarray, decoded)
+    chain_posts = jax.tree.map(np.asarray, chain_posts)
+    meta = DeviceResultMeta(
+        aliases=("forward",),
+        acquisition_time=int(time.monotonic() * 1000),
+        submit_time=time.monotonic(),
+    )
+    module.on_device_result(decoded, chain_posts, meta)
+
+
+def test_detect_chain_dispatches_all_active_handlers():
     module, posts = _make_module()
     for flag in (
         "yolo_torpedoes_board", "yolo_slalom", "yolo_gate",
@@ -48,7 +73,7 @@ def test_fwd_process_dispatches_all_active_handlers():
         shm.active_objects.set_field(f"{flag}_direction", "forward")
 
     img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
-    module.fwd_process(img)
+    _run_chain(module, img)
 
     # every active handler posted (either detections or nothing found, but
     # the handler ran and posted its annotated view)
@@ -56,6 +81,8 @@ def test_fwd_process_dispatches_all_active_handlers():
     for name in ("torpedoes", "slalom", "gate", "gate behind", "bins",
                  "manipulator"):
         assert any(name in key for key in posts), (name, list(posts))
+    # telemetry lands on the status group
+    assert shm.yolo_status.get_field("frames") >= 1
 
 
 def test_inactive_detector_posts_grayscale():
@@ -63,7 +90,7 @@ def test_inactive_detector_posts_grayscale():
     shm.active_objects.set_field("yolo_gate", False)
     shm.active_objects.set_field("yolo_gate_direction", "forward")
     img = np.random.default_rng(1).integers(0, 255, (160, 160, 3), np.uint8)
-    module.fwd_process(img)
+    _run_chain(module, img)
     assert any("gate handler" in k for k in posts)  # the grayscale fallback
     shm.active_objects.set_field("yolo_gate", True)
 
@@ -72,6 +99,20 @@ def test_wrong_direction_skips_handler():
     module, posts = _make_module()
     shm.active_objects.set_field("yolo_bins_direction", "downward")
     img = np.random.default_rng(2).integers(0, 255, (160, 160, 3), np.uint8)
-    module.fwd_process(img)
+    _run_chain(module, img)
     assert not any("bins" in k for k in posts)
     shm.active_objects.set_field("yolo_bins_direction", "forward")
+
+
+def test_performance_mode_skips_debug_outputs():
+    """want_posts=False: no image crosses back; handlers still run on the
+    cached stand-in and only shm results are produced."""
+    module, posts = _make_module()
+    module._performance_enabled = True
+    shm.active_objects.set_field("yolo_gate", True)
+    shm.active_objects.set_field("yolo_gate_direction", "forward")
+    img = np.random.default_rng(3).integers(0, 255, (160, 160, 3), np.uint8)
+    _run_chain(module, img, want_posts=False)
+    assert "original image" not in posts
+    assert module._frames_processed == 1  # telemetry still flows
+    assert shm.yolo_status.get_field("frames") == 1
