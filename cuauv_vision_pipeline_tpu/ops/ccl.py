@@ -78,6 +78,60 @@ def _neighbor_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg, jnp.minimum(labels, out), _SENTINEL)
 
 
+def propagate_min(
+    values: jnp.ndarray,
+    fg: jnp.ndarray,
+    max_iters: int = 64,
+    connectivity: int = 8,
+    jump_mask: int | None = None,
+) -> jnp.ndarray:
+    """Min-propagate per-pixel ``values`` across connected components of
+    ``fg`` (``label()`` is the ``values = raster index`` special case).
+
+    Background pixels return the sentinel. With ``jump_mask`` set, every
+    value must carry a raster index in its low bits (``v & jump_mask ==
+    y*W + x`` of a pixel inside the same component); each iteration then
+    adds a pointer-jumping hop — every pixel gathers the current value at
+    the pixel its own value points to — which squares the propagation
+    distance per pass, so snaking/diagonal structures (Canny edge chains)
+    converge in O(log diameter) passes instead of O(diameter).
+    """
+    fg = fg != 0
+    vals = jnp.where(fg, values.astype(jnp.int32), _SENTINEL)
+    HW = vals.shape[-2] * vals.shape[-1]
+
+    def jump(labels):
+        flat = labels.reshape(*labels.shape[:-2], HW)
+        idx = jnp.clip(flat & jump_mask, 0, HW - 1)
+        got = jnp.take_along_axis(flat, idx, axis=-1)
+        out = jnp.minimum(flat, got).reshape(labels.shape)
+        return jnp.where(fg, out, _SENTINEL)
+
+    def step(labels):
+        if connectivity == 8:
+            labels = _neighbor_min(labels, fg)
+        labels = _runmin_scan(labels, fg, axis=labels.ndim - 1)
+        labels = _runmin_scan(labels, fg, axis=labels.ndim - 2)
+        if jump_mask is not None:
+            labels = jump(labels)
+        return labels
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return jnp.logical_and(prev_changed, it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = step(labels)
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (step(vals), jnp.bool_(True), jnp.int32(1))
+    )
+    return labels
+
+
 def label(
     mask: jnp.ndarray,
     max_iters: int = 64,
@@ -97,32 +151,12 @@ def label(
         first (topmost, then leftmost) pixel.
     """
     fg = mask != 0
-    H, W = mask.shape[-2], mask.shape[-1]
+    W = mask.shape[-1]
     ys = jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2)
     xs = jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1)
-    init = jnp.where(fg, ys * W + xs, _SENTINEL)
-
-    def step(labels):
-        if connectivity == 8:
-            labels = _neighbor_min(labels, fg)
-        labels = _runmin_scan(labels, fg, axis=labels.ndim - 1)
-        labels = _runmin_scan(labels, fg, axis=labels.ndim - 2)
-        return labels
-
-    def cond(state):
-        labels, prev_changed, it = state
-        return jnp.logical_and(prev_changed, it < max_iters)
-
-    def body(state):
-        labels, _, it = state
-        new = step(labels)
-        changed = jnp.any(new != labels)
-        return new, changed, it + 1
-
-    labels, _, _ = jax.lax.while_loop(
-        cond, body, (step(init), jnp.bool_(True), jnp.int32(1))
+    return propagate_min(
+        ys * W + xs, fg, max_iters=max_iters, connectivity=connectivity
     )
-    return labels
 
 
 def component_stats(

@@ -41,6 +41,28 @@ def _sobel_3x3(gray_f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return gx, gy
 
 
+def _sobel_3x3_int(image_u8: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact 3x3 Sobel dx/dy on int32 with BORDER_REPLICATE — the CV_16S
+    gradients cv2.Canny computes (values bounded by +-4*255, exact)."""
+    nd = image_u8.ndim
+    pad_widths = [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(image_u8.astype(jnp.int32), pad_widths, mode="edge")
+    H, W = image_u8.shape[-2], image_u8.shape[-1]
+
+    def sl(dy, dx):
+        return p[..., dy : dy + H, dx : dx + W]
+
+    gx = (
+        (sl(0, 2) + 2 * sl(1, 2) + sl(2, 2))
+        - (sl(0, 0) + 2 * sl(1, 0) + sl(2, 0))
+    )
+    gy = (
+        (sl(2, 0) + 2 * sl(2, 1) + sl(2, 2))
+        - (sl(0, 0) + 2 * sl(0, 1) + sl(0, 2))
+    )
+    return gx, gy
+
+
 def canny(
     image: jnp.ndarray,
     lower: float,
@@ -48,72 +70,88 @@ def canny(
     l2_gradient: bool = False,
     hysteresis_iters: int = 64,
 ) -> jnp.ndarray:
-    """Canny edge detector (cv2.Canny semantics, reference
-    utils/feature.py:43-67). u8 grayscale in, u8 {0,255} edge mask out."""
-    gray = image.astype(jnp.float32)
-    gx, gy = _sobel_3x3(gray)
-    if l2_gradient:
-        mag = jnp.sqrt(gx * gx + gy * gy)
-    else:
-        mag = jnp.abs(gx) + jnp.abs(gy)
+    """Canny edge detector, bit-exact vs cv2.Canny (aperture 3).
 
-    # Non-maximum suppression with cv2's TG22 sector quantization.
-    TG22 = 0.4142135623730950488016887242097  # tan(pi/8)
-    ax = jnp.abs(gx)
-    ay = jnp.abs(gy)
+    Replicates OpenCV's u8 path end to end (reference utils/feature.py:43-67
+    wraps cv2.Canny): exact int16-range Sobel with replicate border, integer
+    L1 (or squared-L2) magnitude with zero-padded borders, NMS with the
+    TG22=13573 fixed-point sector boundaries and OpenCV's exact mix of
+    strict/non-strict neighbor comparisons, and dual-threshold hysteresis.
+    cv2's hysteresis is a DFS from strong pixels, but its RESULT is
+    order-independent — the set of candidates 8-connected to a strong
+    pixel — so it is computed here as a min-label propagation over the
+    candidate mask (ops/ccl.propagate_min) with pointer-jumping, converging
+    in O(log diameter) passes on device. u8 grayscale in, u8 {0,255} out.
+    """
+    from .ccl import propagate_min
+
+    # threshold prep, host-side (cv2 canny.cpp: swap, L2 squares + clamps,
+    # then cvFloor to int)
+    lo, hi = float(lower), float(upper)
+    if lo > hi:
+        lo, hi = hi, lo
+    if l2_gradient:
+        lo, hi = min(32767.0, lo), min(32767.0, hi)
+        if lo > 0:
+            lo *= lo
+        if hi > 0:
+            hi *= hi
+    low, high = int(math.floor(lo)), int(math.floor(hi))
+
+    dx, dy = _sobel_3x3_int(image)
+    if l2_gradient:
+        mag = dx * dx + dy * dy
+    else:
+        mag = jnp.abs(dx) + jnp.abs(dy)
 
     nd = mag.ndim
     pad_widths = [(0, 0)] * (nd - 2) + [(1, 1), (1, 1)]
+    # cv2 pads every magnitude row with 0 at both ends and treats rows
+    # above/below the image as all-zero — border pixels compare against 0
     mp = jnp.pad(mag, pad_widths, mode="constant")
     H, W = mag.shape[-2], mag.shape[-1]
 
-    def sl(dy, dx):
-        return mp[..., dy + 1 : dy + 1 + H, dx + 1 : dx + 1 + W]
+    def sl(dy_, dx_):
+        return mp[..., dy_ + 1 : dy_ + 1 + H, dx_ + 1 : dx_ + 1 + W]
 
-    horizontal = ay < ax * TG22
-    vertical = ay > ax * (1.0 / TG22)
-    diag_sign = (gx * gy) >= 0  # same sign -> 135deg diagonal neighbors
+    # sector quantization in cv2's fixed point: y*2^15 vs x*TG22 / x*TG67
+    TG22 = 13573  # tan(22.5deg) * 2^15, rounded
+    ax = jnp.abs(dx)
+    ay15 = jnp.abs(dy) << 15
+    tg22x = ax * TG22
+    tg67x = tg22x + ((ax + ax) << 15)
+
+    horizontal = ay15 < tg22x
+    vertical = ay15 > tg67x
+    same_sign = (dx ^ dy) >= 0  # cv2: s = (xs ^ ys) < 0 ? -1 : 1
 
     keep_h = (mag > sl(0, -1)) & (mag >= sl(0, 1))
     keep_v = (mag > sl(-1, 0)) & (mag >= sl(1, 0))
-    keep_d1 = (mag > sl(-1, -1)) & (mag >= sl(1, 1))  # same-sign diagonal
-    keep_d2 = (mag > sl(-1, 1)) & (mag >= sl(1, -1))
+    keep_d1 = (mag > sl(-1, -1)) & (mag > sl(1, 1))  # s=+1: both strict
+    keep_d2 = (mag > sl(-1, 1)) & (mag > sl(1, -1))  # s=-1: both strict
 
     keep = jnp.where(
         horizontal,
         keep_h,
-        jnp.where(vertical, keep_v, jnp.where(diag_sign, keep_d1, keep_d2)),
+        jnp.where(vertical, keep_v, jnp.where(same_sign, keep_d1, keep_d2)),
     )
 
-    strong = keep & (mag > upper)
-    weak = keep & (mag > lower)
+    cand = keep & (mag > low)  # cv2 gates NMS on m > low
+    strong = cand & (mag > high)
 
-    # Hysteresis: grow strong through weak (8-connectivity) to fixpoint.
-    def grow(s):
-        sp = jnp.pad(s, pad_widths, mode="constant")
-
-        def n(dy, dx):
-            return sp[..., dy + 1 : dy + 1 + H, dx + 1 : dx + 1 + W]
-
-        any_nb = (
-            n(-1, -1) | n(-1, 0) | n(-1, 1) | n(0, -1)
-            | n(0, 1) | n(1, -1) | n(1, 0) | n(1, 1)
-        )
-        return s | (weak & any_nb)
-
-    def cond(state):
-        s, changed, it = state
-        return jnp.logical_and(changed, it < hysteresis_iters)
-
-    def body(state):
-        s, _, it = state
-        new = grow(s)
-        return new, jnp.any(new != s), it + 1
-
-    strong, _, _ = jax.lax.while_loop(
-        cond, body, (grow(strong), jnp.bool_(True), jnp.int32(1))
+    # Hysteresis: a candidate is an edge iff its 8-connected candidate
+    # component contains a strong pixel. Encode strongness above the raster
+    # index and min-propagate; OFFSET bounds H*W (<= 2^24 covers 4K frames).
+    OFFSET = 1 << 24
+    ys = jax.lax.broadcasted_iota(jnp.int32, mag.shape, nd - 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, mag.shape, nd - 1)
+    ridx = ys * W + xs
+    seeds = jnp.where(strong, ridx, ridx + OFFSET)
+    final = propagate_min(
+        seeds, cand, max_iters=hysteresis_iters, jump_mask=OFFSET - 1
     )
-    return jnp.where(strong, jnp.uint8(255), jnp.uint8(0))
+    edge = cand & (final < OFFSET)
+    return jnp.where(edge, jnp.uint8(255), jnp.uint8(0))
 
 
 def hough_lines_accumulator(

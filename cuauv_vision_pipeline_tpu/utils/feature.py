@@ -32,9 +32,11 @@ def all_contours(mat: np.ndarray) -> List[np.ndarray]:
     return CT.find_contours(np.asarray(mat), external_only=False)
 
 
-def canny(mat: np.ndarray, lower: int, upper: int) -> np.ndarray:
-    """Canny edges (reference feature.py:43-67)."""
-    return np.asarray(F.canny(np.asarray(mat), lower, upper))
+def canny(
+    mat: np.ndarray, lower: int, upper: int, l2_gradient: bool = False
+) -> np.ndarray:
+    """Canny edges, bit-exact vs cv2.Canny (reference feature.py:43-67)."""
+    return np.asarray(F.canny(np.asarray(mat), lower, upper, l2_gradient))
 
 
 def simple_canny(

@@ -112,17 +112,16 @@ def test_fit_ellipse_close_to_cv2():
     assert abs((ref[2] - got[2] + 90) % 180 - 90) < 1.0
 
 
-def test_canny_overlaps_cv2():
+def test_canny_bit_exact_vs_cv2():
     img = _blobs(5, thresh=120)
     smooth = cv2.GaussianBlur(RNG.integers(0, 256, (96, 128), np.uint8), (7, 7), 0)
-    for mat in (img, smooth):
-        ref = cv2.Canny(mat, 50, 150) != 0
-        got = F.canny(mat, 50, 150) != 0
-        union = (ref | got).sum()
-        if union == 0:
-            continue
-        iou = (ref & got).sum() / union
-        assert iou > 0.85, f"canny IoU {iou}"
+    noise = RNG.integers(0, 256, (61, 83), np.uint8)
+    for mat in (img, smooth, noise):
+        for lo, hi, l2 in ((50, 150, False), (150, 50, False), (30, 90, True)):
+            ref = cv2.Canny(mat, lo, hi, L2gradient=l2)
+            got = np.asarray(F.canny(mat, lo, hi, l2_gradient=l2))
+            n = int((ref != got).sum())
+            assert n == 0, f"canny mismatches={n} lo={lo} hi={hi} l2={l2}"
 
 
 def test_find_corners_near_cv2():
