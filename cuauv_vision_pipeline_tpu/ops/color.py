@@ -10,10 +10,13 @@ tests/test_ops_color.py):
 
 * ``bgr_to_gray``, ``bgr_to_hsv``, ``bgr_to_ycrcb``, ``bgr_to_lab`` —
   **bit-exact** vs OpenCV's u8 fixed-point pipelines.
-* ``bgr_to_hls`` — L bit-exact everywhere; on CPU S is also bit-exact and H
-  differs by 1 for ~0.02% of colors; on TPU both S and H can differ by 1 for
-  ~0.05% of colors (the VPU's FMA contraction and reciprocal-based division
-  round differently from OpenCV's AVX2 path).
+* ``bgr_to_hls`` — **bit-exact** vs OpenCV's vectorized kernel on every
+  backend, via emulated fused multiply-add and correctly-rounded division
+  (ops/ieee.py). That is bit-exact vs cv2, full stop, for every image at
+  least 8px wide (cv2 vectorizes whole rows, handling ragged tails as
+  overlapped vectors); only sub-vector-width images fall back to cv2's
+  scalar loop, which itself rounds differently from cv2's own SIMD body
+  for rare colors.
 * ``bgr_to_luv`` and the ``*_to_bgr`` inverses — float paths,
   tolerance-matched (OpenCV's own u8 LUV uses interpolated LUTs).
 """
@@ -24,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import cvtables as T
+from . import ieee as I
 
 _HALF = {  # rounding bias per shift
     12: 1 << 11,
@@ -230,8 +234,17 @@ def lab_to_bgr(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def bgr_to_hls(image: jnp.ndarray) -> jnp.ndarray:
-    """u8 BGR -> u8 HLS. L and S bit-exact vs cv2; H within 1 for the rare
-    colors where OpenCV's FMA rounding differs from separate mul+add."""
+    """u8 BGR -> u8 HLS, bit-exact vs cv2's vectorized kernel.
+
+    Replicates OpenCV 5.0's AVX2 RGB2HLS kernel operation for operation:
+    ``s = diff / (2 - (vmax+vmin))`` with the sum computed once, hue via a
+    true fused multiply-add ``fma(delta, 60/diff, sector_base)`` with the
+    +360 wraparound folded into the fma base (ops/ieee.fma_rn — XLA has no
+    deterministic fma op), and correctly-rounded division (ops/ieee.div_rn
+    — TPU's reciprocal-based divide is not). Bit-exact vs cv2 for every
+    image >=8px wide (cv2 vectorizes whole rows); narrower images hit
+    cv2's scalar loop, which rounds differently from cv2's own SIMD body
+    for rare colors — see tests/test_ops_color.py."""
     f = jnp.float32
     scale = f(1.0) / f(255.0)
     bf = image[..., 0].astype(f) * scale
@@ -240,25 +253,28 @@ def bgr_to_hls(image: jnp.ndarray) -> jnp.ndarray:
 
     vmax = jnp.maximum(jnp.maximum(bf, gf), rf)
     vmin = jnp.minimum(jnp.minimum(bf, gf), rf)
-    lum = (vmax + vmin) * f(0.5)
+    summ = vmax + vmin
+    lum = summ * f(0.5)
     diff = vmax - vmin
 
-    denom = jnp.where(lum < f(0.5), vmax + vmin, f(2.0) - (vmax + vmin))
+    denom = jnp.where(lum < f(0.5), summ, f(2.0) - summ)
     denom_safe = jnp.where(denom > 0, denom, f(1.0))
-    s = jnp.where(diff > 0, diff / denom_safe, f(0.0))
+    s = jnp.where(diff > 0, I.div_rn(diff, denom_safe), f(0.0))
 
     diff_safe = jnp.where(diff > 0, diff, f(1.0))
-    ddiff = f(60.0) / diff_safe
+    ddiff = I.div_rn(f(60.0), diff_safe)
+    # Only the vmax==r sector can wrap negative (h in [-60, 60]); cv2's
+    # SIMD body folds the +360 wraparound INTO the fma (single rounding),
+    # so the base there is 360 when g < b, not 0-then-add-360.
     h = jnp.where(
         vmax == rf,
-        (gf - bf) * ddiff,
+        I.fma_rn(gf - bf, ddiff, jnp.where(gf < bf, f(360.0), f(0.0))),
         jnp.where(
             vmax == gf,
-            (bf - rf) * ddiff + f(120.0),
-            (rf - gf) * ddiff + f(240.0),
+            I.fma_rn(bf - rf, ddiff, f(120.0)),
+            I.fma_rn(rf - gf, ddiff, f(240.0)),
         ),
     )
-    h = jnp.where(h < 0, h + f(360.0), h)
     h = jnp.where(diff > 0, h, f(0.0))
 
     out = jnp.stack(

@@ -46,8 +46,9 @@ CUBE = _full_cube()
         (C.bgr_to_hsv, cv2.COLOR_BGR2HSV),
         (C.bgr_to_ycrcb, cv2.COLOR_BGR2YCrCb),
         (C.bgr_to_lab, cv2.COLOR_BGR2LAB),
+        (C.bgr_to_hls, cv2.COLOR_BGR2HLS),
     ],
-    ids=["gray", "hsv", "ycrcb", "lab"],
+    ids=["gray", "hsv", "ycrcb", "lab", "hls"],
 )
 def test_bit_exact_over_full_cube(ours, cv_code):
     ref = cv2.cvtColor(CUBE, cv_code)
@@ -56,16 +57,31 @@ def test_bit_exact_over_full_cube(ours, cv_code):
     np.testing.assert_array_equal(got, ref)
 
 
-def test_hls_l_s_bit_exact_h_within_one():
-    cube = _sub_cube()
-    ref = cv2.cvtColor(cube, cv2.COLOR_BGR2HLS)
-    got = np.asarray(jax.jit(C.bgr_to_hls)(cube))
-    np.testing.assert_array_equal(got[..., 1], ref[..., 1])  # L exact
-    np.testing.assert_array_equal(got[..., 2], ref[..., 2])  # S exact
-    dh = got[..., 0].astype(int) - ref[..., 0].astype(int)
-    dh = np.minimum(np.abs(dh), 180 - np.abs(dh))  # circular
-    assert dh.max() <= 1
-    assert (dh != 0).mean() < 5e-4  # only the rare FMA-boundary colors
+def test_cv2_hls_simd_body_vs_scalar_self_inconsistency():
+    """cv2 itself converts the same color to different HLS values depending
+    on image width: rows narrower than the vector width fall back to its
+    scalar loop (mul-then-add), which rounds differently from the AVX2 body
+    (true fma) for rare colors. Rows >= 8 wide are entirely vectorized (the
+    ragged tail is an overlapped vector, not scalar). bgr_to_hls matches
+    the vector kernel, i.e. cv2 exactly for every image at least 8px wide;
+    this pins the known scalar divergence so a cv2 upgrade that changes the
+    story is noticed. Skips on builds where the probes agree."""
+    probes = [(176, 130, 141), (188, 155, 118)]  # known divergent colors
+    found = None
+    for bgr in probes:
+        narrow = np.tile(np.array(bgr, np.uint8), (1, 5, 1))  # scalar loop
+        wide = np.tile(np.array(bgr, np.uint8), (1, 8, 1))  # vector body
+        scalar = cv2.cvtColor(narrow, cv2.COLOR_BGR2HLS)[0, 0]
+        body = cv2.cvtColor(wide, cv2.COLOR_BGR2HLS)[0, 0]
+        if (scalar != body).any():
+            found = (bgr, body)
+            break
+    if found is None:
+        pytest.skip("this cv2 build's scalar loop agrees for the probe colors")
+    bgr, body = found
+    img8 = np.tile(np.array(bgr, np.uint8), (1, 8, 1))
+    got = np.asarray(jax.jit(C.bgr_to_hls)(img8))
+    np.testing.assert_array_equal(got[0, 0], body)
 
 
 def test_luv_tolerance():
