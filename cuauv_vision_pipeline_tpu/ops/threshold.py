@@ -158,6 +158,10 @@ _SMALL_GAUSSIAN = {
     3: np.array([0.25, 0.5, 0.25]),
     5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625]),
     7: np.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125]),
+    # ksize 9 is also a fixed binary-fraction table in cv2's bit-exact path
+    # (verified against cv2.getGaussianKernel(9) and the GaussianBlur
+    # impulse response): {4, 13, 30, 51, 60, 51, 30, 13, 4} / 256.
+    9: np.array([4.0, 13.0, 30.0, 51.0, 60.0, 51.0, 30.0, 13.0, 4.0]) / 256.0,
 }
 
 

@@ -25,16 +25,20 @@ def gaussian_blur(
     """cv2.GaussianBlur with BORDER_REFLECT_101
     (reference utils/transform.py:5-25 simple_gaussian_blur).
 
-    u8 inputs with kernel_size <= 7 reproduce cv2.GaussianBlur bit-exactly
-    (OpenCV's hardcoded binary-fraction kernels in 8-bit fixed point).
-    Larger kernels match cv2.sepFilter2D with getGaussianKernel exactly;
-    cv2.GaussianBlur's own softdouble fixed-point path may differ by +-1
-    there."""
+    u8 inputs with kernel_size <= 9 reproduce cv2.GaussianBlur bit-exactly
+    (OpenCV's hardcoded binary-fraction kernels in 8-bit fixed point — the
+    table extends through ksize 9). For ksize >= 11 cv2 derives kernels
+    with its softdouble software-float exp and filters in private fixed
+    point; without its source that sequence is not reproducible, and the
+    target itself is build-dependent (IPP vs HAL dispatch). This path
+    instead matches cv2.sepFilter2D(f32) with the getGaussianKernel
+    formula; measured vs cv2.GaussianBlur: |d| <= 1 for ksize 11-31 on
+    ~12-17% of pixels, |d| <= 2 at ksize 101 (tests pin these bounds)."""
     assert kernel_size % 2 == 1, "kernel size must be odd"
     kf = _gaussian_kernel_1d(kernel_size, sigma)
     pad = kernel_size // 2
 
-    is_u8 = image.dtype == jnp.uint8 and kernel_size <= 7 and sigma <= 0
+    is_u8 = image.dtype == jnp.uint8 and kernel_size <= 9 and sigma <= 0
     if is_u8:
         ki = np.round(kf * (1 << 8)).astype(np.int32)
         k = jnp.asarray(ki, jnp.int32)

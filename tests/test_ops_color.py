@@ -50,9 +50,30 @@ CUBE = _full_cube()
     ],
     ids=["gray", "hsv", "ycrcb", "lab", "hls"],
 )
+@pytest.mark.slow
 def test_bit_exact_over_full_cube(ours, cv_code):
     ref = cv2.cvtColor(CUBE, cv_code)
     got = np.asarray(jax.jit(ours)(CUBE))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize(
+    "ours,cv_code",
+    [
+        (C.bgr_to_gray, cv2.COLOR_BGR2GRAY),
+        (C.bgr_to_hsv, cv2.COLOR_BGR2HSV),
+        (C.bgr_to_ycrcb, cv2.COLOR_BGR2YCrCb),
+        (C.bgr_to_lab, cv2.COLOR_BGR2LAB),
+        (C.bgr_to_hls, cv2.COLOR_BGR2HLS),
+    ],
+    ids=["gray", "hsv", "ycrcb", "lab", "hls"],
+)
+def test_bit_exact_sub_cube(ours, cv_code):
+    """Fast-loop slice of the exhaustive goldens (full cube runs under -m slow)."""
+    cube = _sub_cube()
+    ref = cv2.cvtColor(cube, cv_code)
+    got = np.asarray(jax.jit(ours)(cube))
     assert got.dtype == np.uint8
     np.testing.assert_array_equal(got, ref)
 
