@@ -35,7 +35,7 @@ import time
 import numpy as np
 
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "12"))
-WARM_S = float(os.environ.get("BENCH_WARM_S", "900"))
+WARM_S = float(os.environ.get("BENCH_WARM_S", "1500"))
 CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,s,t,h").split(",")
 
 RESULTS: list = []

@@ -171,6 +171,10 @@ def device_fn(*source_specs: str, depth: int = 1, async_fetch: bool = False):
             return result_pytree, posts_dict
 
     * positional args: device arrays for each alias, in order;
+    * a spec of ``"$N"`` (or ``"*"``, shorthand for ``"$0"``) binds to the
+      first alias that arrives from the module's N-th video source — for
+      single-source modules whose source name is chosen on the command
+      line (``python -m ...modules.bins anycam``);
     * ``tuners``: dict of tuner name -> traced scalar (live tuning never
       recompiles);
     * ``want_posts``: static bool — False in performance mode, so XLA
@@ -190,6 +194,8 @@ def device_fn(*source_specs: str, depth: int = 1, async_fetch: bool = False):
 
     def _alias_of(spec: str) -> str:
         s = spec.strip()
+        if s == "*":
+            return "$0"
         if "[" in s and "]" in s:
             return s.split("[", 1)[1].rsplit("]", 1)[0].strip()
         return s
@@ -211,6 +217,7 @@ class DeviceResultMeta:
     aliases: Tuple[str, ...]
     acquisition_time: int  # ms clock of the newest frame in the bundle
     submit_time: float  # time.monotonic() at submit
+    want_posts: bool = True  # which packed-result spec this bundle used
 
     def latency_ms(self) -> int:
         """Camera-to-result latency of this bundle, in ms."""
@@ -961,8 +968,8 @@ class ModuleBase(ABC):
         return found
 
     def _dispatch_device_result(self, done: Tuple[Any, Any]) -> None:
-        (packed, posts), meta = done
-        result = self._dev_unpack(packed)
+        packed, meta = done
+        result, posts = self._dev_unpack(packed, meta.want_posts)
         self._current_direction = meta.aliases[0]
         self._current_acquisition_time = meta.acquisition_time
         with tracer.span("on_device_result"):
@@ -989,23 +996,42 @@ class ModuleBase(ABC):
             )
 
             dev_bound, dev_aliases, dev_depth, dev_async = dev
-            spec_cell: Dict[str, Any] = {}
+            # posts ride in the SAME single packed fetch as the result (one
+            # device->host round trip per frame, u8 images at native width);
+            # want_posts is a static arg, so each value gets its own trace
+            # and its own unpack spec
+            spec_cells: Dict[bool, Dict[str, Any]] = {True: {}, False: {}}
 
             def packed_fn(*frames, tuners, want_posts, _fn=dev_bound):
                 result, posts = _fn(*frames, tuners=tuners, want_posts=want_posts)
-                return pack_result(result, spec_cell), posts
+                return pack_result((result, posts), spec_cells[want_posts])
 
             dev_exec = StreamExecutor(
                 DevicePipeline(packed_fn, static_argnames=("want_posts",)),
                 depth=dev_depth,
                 async_fetch=dev_async,
             )
-            self._dev_unpack = lambda packed: unpack_result(
-                packed, spec_cell["spec"]
+            self._dev_unpack = lambda packed, want_posts: unpack_result(
+                packed, spec_cells[want_posts]["spec"]
             )
             # staging views must outlive the in-flight transfers
             self._module_manager.set_staging_depth(dev_depth + 1)
             covered_aliases |= set(dev_aliases)
+
+        # "$N" placeholder specs bind to the first alias arriving from the
+        # module's N-th video source (single-source modules whose source
+        # name comes from the command line)
+        src_index = {
+            name: i for i, name in enumerate(self._module_manager._video_sources)
+        }
+
+        def bind_placeholder(src_name: str, alias: str) -> None:
+            nonlocal dev_aliases
+            ph = f"${src_index.get(src_name, -1)}"
+            if ph in dev_aliases:
+                dev_aliases = tuple(alias if a == ph else a for a in dev_aliases)
+                covered_aliases.discard(ph)
+                covered_aliases.add(alias)
 
         while not quit_flag.is_set():
             tick_start = time.monotonic()
@@ -1033,6 +1059,8 @@ class ModuleBase(ABC):
 
                     if isinstance(image, tuple):
                         aliases = self._plane_aliases_for(message)
+                        if aliases:
+                            bind_placeholder(source.name, aliases[0])
                         for alias, frame in zip(aliases, image):
                             frame_cache[alias] = (frame, acq_time)
                             updated_aliases.add(alias)
@@ -1054,6 +1082,7 @@ class ModuleBase(ABC):
                             alias = str(message.plane_names[0])
                         elif len(source.plane_aliases) == 1:
                             alias = source.plane_aliases[0]
+                        bind_placeholder(source.name, alias)
                         frame_cache[alias] = (image, acq_time)
                         updated_aliases.add(alias)
                         if alias != source.name:
@@ -1093,17 +1122,19 @@ class ModuleBase(ABC):
                 if fresh:
                     frames = tuple(frame_cache[a][0] for a in dev_aliases)
                     acq = max(frame_cache[a][1] for a in dev_aliases)
+                    want_posts = not self._performance_enabled
                     meta = DeviceResultMeta(
                         aliases=dev_aliases,
                         acquisition_time=acq,
                         submit_time=time.monotonic(),
+                        want_posts=want_posts,
                     )
                     with tracer.span("device_submit"):
                         ready = dev_exec.submit(
                             frames,
                             meta=meta,
                             tuners=self._module_manager.tuner_scalars(),
-                            want_posts=not self._performance_enabled,
+                            want_posts=want_posts,
                         )
                     for done in ready:
                         self._dispatch_device_result(done)

@@ -47,31 +47,39 @@ ensure_compile_cache()
 def pack_result(result: Any, spec_cell: dict) -> jnp.ndarray:
     """Flatten a result pytree into ONE uint32 vector (traced; exact).
 
-    4-byte leaves are bit-cast; smaller ints/floats widen exactly; bools
-    become 0/1; 8-byte leaves bit-cast to uint32 pairs. The static unpack
-    recipe lands in ``spec_cell['spec']`` at trace time.
+    4-byte leaves are bit-cast; sub-word leaves pack at NATIVE width (4 u8
+    / 2 u16 per word, zero-padded to a word boundary) so multi-megabyte u8
+    images ride along without the 4x widening blow-up; bools pack as u8;
+    8-byte leaves bit-cast to uint32 pairs. The static unpack recipe lands
+    in ``spec_cell['spec']`` at trace time.
     """
     leaves, treedef = jax.tree_util.tree_flatten(result)
-    metas: List[Tuple[Tuple[int, ...], Any]] = []
+    metas: List[Tuple[Tuple[int, ...], Any, int]] = []
     parts: List[jnp.ndarray] = []
     for leaf in leaves:
         arr = jnp.asarray(leaf)
-        metas.append((arr.shape, np.dtype(arr.dtype)))
-        flat = arr.ravel()
         dt = np.dtype(arr.dtype)
+        flat = arr.ravel()
+        n = flat.shape[0]
         if dt == np.bool_:
-            flat = flat.astype(jnp.uint32)
-        elif dt.itemsize < 4:
-            # widen exactly, then bitcast (signed stays signed through i32)
-            flat = jax.lax.bitcast_convert_type(
-                flat.astype(jnp.int32 if dt.kind in "iu" else jnp.float32),
-                jnp.uint32,
+            flat = flat.astype(jnp.uint8)
+        if flat.dtype.itemsize < 4:
+            # group k = 4/itemsize elements per u32 word, zero-padded
+            u = {1: jnp.uint8, 2: jnp.uint16}[flat.dtype.itemsize]
+            k = 4 // flat.dtype.itemsize
+            flat = jax.lax.bitcast_convert_type(flat, u)
+            pad = (-n) % k
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros((pad,), u)])
+            words = jax.lax.bitcast_convert_type(
+                flat.reshape(-1, k), jnp.uint32
             )
-        elif dt.itemsize == 4:
-            flat = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+        elif flat.dtype.itemsize == 4:
+            words = jax.lax.bitcast_convert_type(flat, jnp.uint32)
         else:  # 8-byte: two uint32 words per element (little-endian pairs)
-            flat = jax.lax.bitcast_convert_type(flat, jnp.uint32).ravel()
-        parts.append(flat)
+            words = jax.lax.bitcast_convert_type(flat, jnp.uint32).ravel()
+        metas.append((arr.shape, dt, int(words.shape[0])))
+        parts.append(words)
     spec_cell["spec"] = (treedef, metas)
     if not parts:
         return jnp.zeros((0,), jnp.uint32)
@@ -85,21 +93,18 @@ def unpack_result(packed: np.ndarray, spec) -> Any:
     packed = np.asarray(packed, dtype=np.uint32)
     out = []
     off = 0
-    for shape, dt in metas:
+    for shape, dt, words in metas:
         n = int(np.prod(shape)) if shape else 1
+        chunk = packed[off : off + words]
+        off += words
         if dt == np.bool_:
-            vals = packed[off : off + n].astype(np.bool_)
-            off += n
+            vals = chunk.view(np.uint8)[:n].astype(np.bool_)
         elif dt.itemsize < 4:
-            wide = np.int32 if dt.kind in "iu" else np.float32
-            vals = packed[off : off + n].view(wide).astype(dt)
-            off += n
+            vals = chunk.view(dt)[:n]
         elif dt.itemsize == 4:
-            vals = packed[off : off + n].view(dt)
-            off += n
+            vals = chunk.view(dt)
         else:
-            vals = packed[off : off + 2 * n].view(dt)
-            off += 2 * n
+            vals = chunk.view(dt)
         out.append(vals.reshape(shape))
     return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -6,17 +6,17 @@ background, overlay visualization, open-morphology denoise, outer contours,
 minAreaRect candidates filtered by area > 500 and aspect ratio in [1, 3],
 all drawn on the overlay.
 
-TPU re-design: the mask+morphology run as one fused device chain
-(hsv_mask_chain); contour tracing + rotated rectangles stay on host where
-they feed drawing only.
+TPU re-design: HSV mask + open morphology + the 0.7/0.3 overlay blend run
+as ONE device graph on the module's @device_fn fast path (pipelined, one
+packed fetch per frame); contour tracing + rotated rectangles stay on host
+where they feed drawing only.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..core.base import ModuleBase
-from ..engine.chains import HsvMaskPipeline
+from ..core.base import ModuleBase, device_fn
 from ..utils.draw import Color, draw_polylines
 from ..utils.feature import min_enclosing_rect, outer_contours
 
@@ -39,19 +39,33 @@ def box_points(rect) -> np.ndarray:
 
 
 class BinDetector(ModuleBase):
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self._pipeline = HsvMaskPipeline(LOWER_BEIGE, UPPER_BEIGE)
+    @device_fn("*", depth=1, async_fetch=True)
+    def bins_chain(self, img, *, tuners, want_posts):
+        """HSV inRange + open morphology + the reference's 0.7/0.3 overlay
+        blend as one device graph; one packed fetch carries both the
+        cleaned mask (for host contours) and the overlay image."""
+        import jax.numpy as jnp
 
-    def process(self, direction, img):
-        mask, cleaned, _stats = self._pipeline.run_sync(img)
+        from ..ops import color as C
+        from ..ops import morphology as M
+        from ..ops import threshold as T
 
-        # overlay = 0.7*img + 0.3*mask_bgr (the reference's visualization)
-        mask_bgr = np.repeat(mask[..., None], 3, axis=-1)
-        overlayed = (
-            img.astype(np.float32) * 0.7 + mask_bgr.astype(np.float32) * 0.3
-        ).astype(np.uint8)
+        hsv = C.bgr_to_hsv(img)
+        mask = T.in_range(hsv, LOWER_BEIGE, UPPER_BEIGE)
+        cleaned = M.open_morph(mask, M.rect_kernel(5))
+        result = {"cleaned": cleaned}
+        posts = {}
+        if want_posts:
+            # overlay = 0.7*img + 0.3*mask_bgr (the reference's viz)
+            blend = (
+                img.astype(jnp.float32) * jnp.float32(0.7)
+                + mask[..., None].astype(jnp.float32) * jnp.float32(0.3)
+            )
+            posts["overlay"] = blend.astype(jnp.uint8)
+        return result, posts
 
+    def on_device_result(self, result, posts, meta):
+        cleaned = result["cleaned"]
         valid_rects = []
         for contour in outer_contours(cleaned):
             rect = min_enclosing_rect(contour)
@@ -62,11 +76,14 @@ class BinDetector(ModuleBase):
             if 1.0 <= aspect <= 3.0:
                 valid_rects.append(rect)
 
-        for rect in valid_rects:
-            pts = box_points(rect).astype(np.int32)
-            draw_polylines(overlayed, [pts], True, Color.GREEN, 4)
-
-        self.post("bins", overlayed)
+        overlayed = posts.get("overlay")
+        if overlayed is not None:
+            if not overlayed.flags.writeable:  # packed-fetch views are RO
+                overlayed = overlayed.copy()
+            for rect in valid_rects:
+                pts = box_points(rect).astype(np.int32)
+                draw_polylines(overlayed, [pts], True, Color.GREEN, 4)
+            self.post("bins", overlayed)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ import numpy as np
 
 from ..core.base import ModuleBase
 from ..core.tuners import BoolTuner, IntTuner
-from ..engine.executor import DevicePipeline
+from ..engine.executor import DevicePipeline, StreamExecutor
 from ..ops.balance import BalanceConfig, balance
 
 module_tuners = [
@@ -28,17 +28,32 @@ module_tuners = [
 
 
 class ColorBalance(ModuleBase):
+    """The balance flags choose which stages exist in the graph, so each
+    flag combination is its own compiled pipeline (a @device_fn would need
+    one static trace); each runs through a depth-1 async StreamExecutor so
+    the fetch of frame N overlaps the H2D + compute of frame N+1 — posts
+    arrive one frame late, throughput doubles on high-latency links."""
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._pipelines = {}
+        self._execs = {}
+        self._last_exec = None
+        self._module_manager.set_staging_depth(2)
 
-    def _pipeline_for(self, cfg: BalanceConfig) -> DevicePipeline:
-        # one compiled graph per flag combination (flags are compile-time)
-        pipe = self._pipelines.get(cfg)
-        if pipe is None:
-            pipe = DevicePipeline(lambda img, c=cfg: balance(img, c))
-            self._pipelines[cfg] = pipe
-        return pipe
+    def _exec_for(self, cfg: BalanceConfig) -> StreamExecutor:
+        ex = self._execs.get(cfg)
+        if ex is None:
+            ex = StreamExecutor(
+                DevicePipeline(lambda img, c=cfg: balance(img, c)),
+                depth=1,
+                async_fetch=True,
+            )
+            self._execs[cfg] = ex
+        return ex
+
+    def _post_pair(self, balanced, original) -> None:
+        self.post("original", original)
+        self.post("balanced", np.asarray(balanced))
 
     def process(self, direction, img):
         cfg = BalanceConfig(
@@ -53,9 +68,15 @@ class ColorBalance(ModuleBase):
             horizontal_blocks=int(self.tuners["horizontal_blocks"]),
             vertical_blocks=int(self.tuners["vertical_blocks"]),
         )
-        balanced = np.asarray(self._pipeline_for(cfg).run_sync(img))
-        self.post("original", img)
-        self.post("balanced", balanced)
+        ex = self._exec_for(cfg)
+        if self._last_exec is not None and self._last_exec is not ex:
+            for balanced, original in self._last_exec.flush():
+                self._post_pair(balanced, original)
+        self._last_exec = ex
+        # meta carries a copy of the original frame (the bus staging view
+        # is recycled) so the original/balanced pair posts together
+        for balanced, original in ex.submit((img,), meta=np.array(img)):
+            self._post_pair(balanced, original)
 
 
 if __name__ == "__main__":

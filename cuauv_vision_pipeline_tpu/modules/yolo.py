@@ -101,7 +101,12 @@ class Yolo(ModuleBase, HandlerMixin):
             == direction
         )
 
-    @device_fn("zed[forward]", depth=2, async_fetch=True)
+    # depth=1: the detection headline is LATENCY (<5 ms p50 target); with
+    # async_fetch the fetch of frame N still overlaps the H2D+compute of
+    # frame N+1, so depth 1 keeps full throughput on the fetch-bound path
+    # while holding only one frame of queueing delay (depth 2 adds a whole
+    # extra fetch interval of latency for no throughput gain).
+    @device_fn("zed[forward]", depth=1, async_fetch=True)
     def detect_chain(self, image, *, tuners, want_posts):
         """Forward + DFL decode + NMS as one device graph; the fixed-shape
         decode dict rides back in a single packed fetch. Host keeps the

@@ -129,3 +129,37 @@ def test_pack_unpack_result_roundtrip():
     assert out["small"] == 200 and out["small"].dtype == np.uint8
     assert out["half"] == np.float16(0.5)
     np.testing.assert_array_equal(out["bbox"], [[1, 2], [3, 4]])
+
+
+def test_pack_unpack_native_width_images():
+    """Sub-word leaves pack at native width (4 u8 per word, zero-padded),
+    so a u8 image rides the single packed fetch without 4x widening."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.engine.executor import (
+        pack_result,
+        unpack_result,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (33, 47, 3), np.uint8)  # odd count: padding
+    shorts = rng.integers(-30000, 30000, (17,), np.int16)
+    halves = rng.random((9,), np.float32).astype(np.float16)
+    bools = rng.random((11,)) > 0.5
+    spec_cell = {}
+
+    def fn(im, sh, hf, bl):
+        return pack_result(
+            {"img": im, "sh": sh, "hf": hf, "bl": bl}, spec_cell
+        )
+
+    packed = np.asarray(jax.jit(fn)(img, shorts, halves, bools))
+    # native width: img words ~ ceil(n/4), not n
+    n = img.size
+    assert packed.size < n, f"widened? {packed.size} words for {n} u8"
+    out = unpack_result(packed, spec_cell["spec"])
+    np.testing.assert_array_equal(out["img"], img)
+    np.testing.assert_array_equal(out["sh"], shorts)
+    np.testing.assert_array_equal(out["hf"], halves)
+    np.testing.assert_array_equal(out["bl"], bools)

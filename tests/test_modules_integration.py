@@ -191,3 +191,113 @@ def test_red_buoy_stereo_batched_fanin(unique_direction):
     assert not res.visible_right, "right eye false-positived"
     assert res.area_left > 20
     assert abs(res.center_x_left) < 0.6 and abs(res.center_y_left) < 0.6
+
+
+def test_bins_module_device_path_with_wildcard_alias(unique_direction):
+    """BinDetector's stock @device_fn("*") binds to whatever direction the
+    command line names (BASELINE config #3 shape): synthetic source -> bus
+    -> one-graph HSV mask + morphology + overlay -> single packed fetch ->
+    host contours/rects -> post."""
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import Synthetic
+    from cuauv_vision_pipeline_tpu.core.log import log
+    from cuauv_vision_pipeline_tpu.modules import bins
+
+    source = Synthetic(unique_direction, width=256, height=144, fps=60)
+    src_thread = threading.Thread(target=source.run_event_loop)
+    src_thread.start()
+    time.sleep(0.3)
+
+    posted = []
+
+    class Bins(bins.BinDetector):
+        def post(self, name, image):
+            posted.append((name, np.asarray(image).copy()))
+
+    module = Bins([unique_direction], [], fps=30, argv=[])
+    quit_flag = threading.Event()
+    try:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline and not posted:
+                time.sleep(0.05)
+            quit_flag.set()
+            loop.join(timeout=10)
+    finally:
+        source.quit_flag.set()
+        src_thread.join(timeout=10)
+
+    assert posted, "bins module never posted through the device path"
+    name, overlay = posted[0]
+    assert name == "bins"
+    assert overlay.shape == (144, 256, 3) and overlay.dtype == np.uint8
+
+
+def test_bins_host_logic_draws_valid_rects():
+    """on_device_result: contour -> minAreaRect filtering (area > 500,
+    aspect in [1,3]) and the green rectangle drawn on the overlay."""
+    from cuauv_vision_pipeline_tpu.modules import bins
+    from cuauv_vision_pipeline_tpu.utils.draw import Color
+
+    cleaned = np.zeros((120, 160), np.uint8)
+    cleaned[30:70, 40:110] = 255  # 40x70: area 2800, aspect 1.75 -> valid
+    cleaned[5:9, 5:9] = 255  # 4x4: area 16 -> filtered out
+    overlay = np.zeros((120, 160, 3), np.uint8)
+    overlay.setflags(write=False)  # packed-fetch views arrive read-only
+
+    posted = []
+    det = bins.BinDetector.__new__(bins.BinDetector)
+    det.post = lambda name, image: posted.append((name, image))
+    det.on_device_result({"cleaned": cleaned}, {"overlay": overlay}, meta=None)
+
+    assert len(posted) == 1
+    _, out = posted[0]
+    green = (out == np.array(Color.GREEN.value, np.uint8)).all(-1)
+    assert green.any(), "no green rectangle drawn for the valid rect"
+    ys, xs = np.nonzero(green)
+    assert 25 <= ys.min() <= 35 and 35 <= xs.min() <= 45
+
+
+def test_color_balance_async_pipeline_posts_pairs(unique_direction):
+    """ColorBalance's per-config async executor: original/balanced pairs
+    post together, one frame late (depth-1 overlap)."""
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import Synthetic
+    from cuauv_vision_pipeline_tpu.core.log import log
+    from cuauv_vision_pipeline_tpu.modules import color_balance
+
+    source = Synthetic(unique_direction, width=128, height=72, fps=60)
+    src_thread = threading.Thread(target=source.run_event_loop)
+    src_thread.start()
+    time.sleep(0.3)
+
+    posted = []
+
+    class CB(color_balance.ColorBalance):
+        def post(self, name, image):
+            posted.append((name, np.asarray(image).copy()))
+
+    module = CB([unique_direction], color_balance.module_tuners, fps=30, argv=[])
+    quit_flag = threading.Event()
+    try:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline and len(posted) < 4:
+                time.sleep(0.05)
+            quit_flag.set()
+            loop.join(timeout=10)
+    finally:
+        source.quit_flag.set()
+        src_thread.join(timeout=10)
+
+    names = [n for n, _ in posted]
+    assert "original" in names and "balanced" in names, names
+    # pairs post adjacently: original immediately followed by balanced
+    i = names.index("original")
+    assert names[i + 1] == "balanced"
+    orig = dict(posted)["original"]
+    bal = dict(posted)["balanced"]
+    assert orig.shape == bal.shape == (72, 128, 3)
+    assert not np.array_equal(orig, bal)  # default flags change the frame
