@@ -50,6 +50,15 @@ def emit(metric: str, value, unit: str, **extra) -> None:
     line.update(extra)
     RESULTS.append(line)
     print(json.dumps(line), flush=True)
+    # persist incrementally so a hard-killed run still leaves its metrics
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"
+        )
+        with open(path, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+    except OSError:
+        pass
 
 
 def _preexec() -> None:
@@ -580,12 +589,21 @@ def main() -> None:
         "s": ("stereo fan-in chain", stereo_fanin_bench),
         "t": ("H2D transfer", transfer_bench),
     }
+    # global budget: every module-process start on this harness pays an
+    # uncacheable first-readback remote compile (150-550 s observed), so a
+    # full 7-config sweep can run long — skip remaining configs rather than
+    # let an overall kill take the headline down with them
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3600"))
+    t_start = time.monotonic()
     for key in CONFIGS:
         key = key.strip()
         if key == "h":
             continue  # headline always runs last
         name, fn = steps.get(key, (None, None))
         if fn is None:
+            continue
+        if time.monotonic() - t_start > budget_s:
+            log(f"--- {name} SKIPPED: over {budget_s:.0f}s budget ---")
             continue
         log(f"--- {name} ---")
         try:
@@ -594,12 +612,6 @@ def main() -> None:
             log(f"{name} FAILED: {type(e).__name__}: {e}")
     log("--- headline: device chain ---")
     headline_device_chain()
-
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"),
-        "w",
-    ) as f:
-        json.dump(RESULTS, f, indent=1)
 
 
 if __name__ == "__main__":

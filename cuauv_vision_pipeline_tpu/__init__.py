@@ -25,3 +25,15 @@ A brand-new framework with the capabilities of the CUAUV vision pipeline
 """
 
 __version__ = "0.1.0"
+
+# Honor $JAX_PLATFORMS before anything in the package can touch jax: device
+# plugins that force-select their platform at jax-import time (the
+# remote-attached TPU harness does) ignore the env var in fresh processes,
+# and several submodules build jnp constants at import, which initializes
+# the backend. Doing the config override here makes `JAX_PLATFORMS=cpu
+# python -m cuauv_vision_pipeline_tpu.modules.X` behave as documented
+# (toggler on a CPU mesh, tests, CI).
+from .core.jaxconfig import apply_env_platform as _apply_env_platform
+
+_apply_env_platform()
+del _apply_env_platform

@@ -871,6 +871,9 @@ class ModuleBase(ABC):
             # initialize the backend on the main thread before the loop
             # thread's first device_put: surfaces init errors early and
             # keeps plugin registration off the hot path
+            from .jaxconfig import apply_env_platform
+
+            apply_env_platform()
             import jax
 
             if self._device_ordinal is not None:

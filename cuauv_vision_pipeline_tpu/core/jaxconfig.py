@@ -28,6 +28,29 @@ def _default_cache_dir() -> str:
 _configured = False
 
 
+def apply_env_platform() -> None:
+    """Honor ``$JAX_PLATFORMS`` even when a PJRT plugin force-selects its
+    own platform at import time.
+
+    On hosts whose device plugin (e.g. a remote-attached TPU) overrides the
+    platform during jax init, the environment variable alone is ignored in
+    freshly spawned processes; only an in-process ``jax.config.update``
+    before backend initialization wins. This makes subprocess platform
+    selection (module toggler on a CPU mesh, tests, CI) behave as
+    documented. No-op once a backend is initialized or when the var is
+    unset.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass  # backend already up; leave it be
+
+
 def ensure_compile_cache() -> None:
     """Idempotently point JAX's persistent compilation cache at the shared
     directory. Call before the first jit dispatch (imports jax)."""

@@ -204,3 +204,96 @@ def test_hypertune_sweep_runs_module_over_images():
     assert out.shape == (40, 60, 3)
     # brightness tuner applied: background pixels shifted by +50
     assert out[0, 0, 0] in (60, 70, 80)  # 10/20/30 + 50 depending on frame
+
+
+@pytest.mark.slow
+def test_toggler_two_module_fanout_pinned_to_mesh_devices(
+    tmp_path, monkeypatch, unique_direction
+):
+    """VERDICT r1 item: a two-module fan-out under the toggler, each module
+    process pinned to a different device of the 8-device CPU mesh via the
+    vehicle config's module_devices map (production surface, real
+    subprocesses, stock red_buoy @device_fn chain)."""
+    import threading
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import Synthetic
+
+    src_a = f"{unique_direction}a"
+    src_b = f"{unique_direction}b"
+
+    monkeypatch.setenv("CUAUV_LOG", str(tmp_path))
+    monkeypatch.setattr(
+        vehicle, "vision_modules", {"red_buoy": [src_a, src_b]}
+    )
+    monkeypatch.setattr(
+        vehicle, "module_devices", {"red_buoy": {src_a: 2, src_b: 5}}
+    )
+
+    # zed-scene sources: 4 named planes, so the stock chain's
+    # "zed[forward]" alias binds for both modules
+    sources = [
+        Synthetic(s, width=256, height=144, fps=20, scene="zed")
+        for s in (src_a, src_b)
+    ]
+    threads = [
+        threading.Thread(target=s.run_event_loop) for s in sources
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.5)
+
+    toggler = ModuleToggler()
+    flags = shm.vision_modules
+    for s in (src_a, src_b):
+        assert toggler._flag_name("red_buoy", s) in flags.field_names()
+        flags.set_field(toggler._flag_name("red_buoy", s), True)
+
+    try:
+        toggler.sync()
+        assert set(toggler.running) == {
+            f"red_buoy_{src_a}",
+            f"red_buoy_{src_b}",
+        }
+        # wait for both to pin + detect (subprocess jax startup + compile)
+        logs = {
+            s: os.path.join(tmp_path, "current", f"red_buoy@{s}-module.log")
+            for s in (src_a, src_b)
+        }
+        deadline = time.monotonic() + 240
+        pinned = set()
+        while time.monotonic() < deadline and len(pinned) < 2:
+            for s, ordinal in ((src_a, 2), (src_b, 5)):
+                if s in pinned or not os.path.exists(logs[s]):
+                    continue
+                text = open(logs[s]).read()
+                if f"Pinned to device TFRT_CPU_{ordinal}" in text or (
+                    "Pinned to device" in text and f"_{ordinal}" in text
+                ):
+                    pinned.add(s)
+            toggler._reap()
+            assert len(toggler.running) == 2, (
+                "a module process died: "
+                + "".join(open(p).read()[-2000:] for p in logs.values() if os.path.exists(p))
+            )
+            time.sleep(1)
+        assert len(pinned) == 2, (
+            f"pinned={pinned}; logs: "
+            + "".join(open(p).read()[-2000:] for p in logs.values() if os.path.exists(p))
+        )
+        # both keep running (no crash loops) and results flow
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if shm.red_buoy_results.get().area > 0:
+                break
+            time.sleep(0.5)
+        assert shm.red_buoy_results.get().area > 0
+    finally:
+        for s in (src_a, src_b):
+            flags.set_field(toggler._flag_name("red_buoy", s), False)
+        toggler.sync()
+        for s in sources:
+            s.quit_flag.set()
+        for t in threads:
+            t.join(timeout=10)
+
+    assert not toggler.running
