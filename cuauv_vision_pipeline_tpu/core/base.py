@@ -158,7 +158,12 @@ def sources(*source_specs: str):
     return _decorator
 
 
-def device_fn(*source_specs: str, depth: int = 1, async_fetch: bool = False):
+def device_fn(
+    *source_specs: str,
+    depth: int = 1,
+    async_fetch: bool = False,
+    batch: int = 1,
+):
     """Decorator marking a method as the module's jitted device chain.
 
     The TPU fast path the reference never had (its per-frame path copied
@@ -182,6 +187,19 @@ def device_fn(*source_specs: str, depth: int = 1, async_fetch: bool = False):
       result scalars crosses back to the host;
     * returns ``(result, posts)`` pytrees of device arrays.
 
+    ``batch > 1`` resolves SURVEY's latency-vs-batching tension with a
+    queue-depth-driven policy: every tick the loop drains up to ``batch``
+    unseen frames from the bus in ONE native call (the ring keeps the
+    latest K instead of latest-wins-only) and submits them as one
+    ``[batch, ...]`` vmapped dispatch — the chain is written per-frame and
+    vmapping is automatic. When the module keeps up only 1 frame is fresh
+    per tick (pad lanes repeat it; pure per-frame chains make them
+    harmless), so latency stays batch-1; when it falls behind — e.g. every
+    fetch pays a high-latency link RTT — each round trip carries K frames
+    instead of dropping K-1. ``on_device_result`` fires once per FRESH
+    frame, oldest first, each with its own acquisition-time latency.
+    Requires a single-source spec and a bus with slot_count > batch.
+
     ModuleBase runs the chain through a depth-``depth`` StreamExecutor:
     frame N's H2D copy + compute overlap the bus read of frame N+1, and the
     materialized result of frame N arrives at ``on_device_result(result,
@@ -204,6 +222,7 @@ def device_fn(*source_specs: str, depth: int = 1, async_fetch: bool = False):
         fn._device_fn_aliases = tuple(_alias_of(s) for s in source_specs)
         fn._device_fn_depth = depth
         fn._device_fn_async = async_fetch
+        fn._device_fn_batch = batch
         return fn
 
     return _decorator
@@ -218,6 +237,9 @@ class DeviceResultMeta:
     acquisition_time: int  # ms clock of the newest frame in the bundle
     submit_time: float  # time.monotonic() at submit
     want_posts: bool = True  # which packed-result spec this bundle used
+    # batched chains: acquisition time of each FRESH lane (oldest first);
+    # None for unbatched chains
+    lane_acqs: Optional[List[int]] = None
 
     def latency_ms(self) -> int:
         """Camera-to-result latency of this bundle, in ms."""
@@ -231,6 +253,10 @@ class VideoMessage:
     data: Optional[Union[np.ndarray, Tuple[np.ndarray, ...]]]
     acquisition_time: int
     plane_names: Tuple[str, ...] = tuple()
+    # latest-K drain for a batching device chain: oldest-first frames (the
+    # last one == data) and their acquisition times
+    batch_data: Optional[List[Union[np.ndarray, Tuple[np.ndarray, ...]]]] = None
+    batch_acqs: Optional[List[int]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +328,14 @@ class ModuleManager:
             self._post_accessor[name] = accessor
         accessor.write_frame(acquisition_time, data)
 
-    def read_messages(self) -> List[VideoMessage]:
+    def read_messages(
+        self, batch: Optional[Dict[str, int]] = None
+    ) -> List[VideoMessage]:
+        """Read the newest frame from every video source. Sources named in
+        ``batch`` drain up to that many unseen frames in ONE native call
+        (the latest-K reader): the message's ``data`` is still the newest
+        frame, and the full oldest-first batch rides in ``batch_data`` /
+        ``batch_acqs`` for a batching device chain."""
         self._require_ctx()
 
         # Tuner updates first, so this tick's processing sees fresh values.
@@ -315,7 +348,15 @@ class ModuleManager:
 
         messages: List[VideoMessage] = []
         for name, accessor in self._video_accessor.items():
-            status, data, acquisition_time = accessor.read_frame()
+            max_frames = (batch or {}).get(name, 1)
+            if max_frames > 1:
+                status, frames, acqs = accessor.read_frame_batch(max_frames)
+                data = frames[-1] if frames else None
+                acquisition_time = acqs[-1] if acqs else 0
+                batch_data, batch_acqs = frames, acqs
+            else:
+                status, data, acquisition_time = accessor.read_frame()
+                batch_data, batch_acqs = None, None
             if status == ReadStatus.FRAMEWORK_DELETED:
                 raise RuntimeError(f"{accessor.direction} was marked for deletion")
             if data is not None:
@@ -326,6 +367,8 @@ class ModuleManager:
                         data=data,
                         acquisition_time=acquisition_time,
                         plane_names=accessor.last_plane_names(),
+                        batch_data=batch_data,
+                        batch_acqs=batch_acqs,
                     )
                 )
         return messages
@@ -942,9 +985,9 @@ class ModuleBase(ABC):
 
     def _discover_device_fn(
         self, logger: Logger
-    ) -> Optional[Tuple[Callable, Tuple[str, ...], int, bool]]:
+    ) -> Optional[Tuple[Callable, Tuple[str, ...], int, bool, int]]:
         """Find the module's @device_fn method (at most one)."""
-        found: Optional[Tuple[Callable, Tuple[str, ...], int, bool]] = None
+        found: Optional[Tuple[Callable, Tuple[str, ...], int, bool, int]] = None
         for attr_name in dir(self):
             try:
                 maybe = getattr(self, attr_name)
@@ -961,11 +1004,17 @@ class ModuleBase(ABC):
                 )
             depth = getattr(target, "_device_fn_depth", 1)
             async_fetch = getattr(target, "_device_fn_async", False)
-            found = (maybe, tuple(aliases), depth, async_fetch)
+            batch = getattr(target, "_device_fn_batch", 1)
+            if batch > 1 and len(aliases) != 1:
+                raise RuntimeError(
+                    "@device_fn(batch=N) requires a single source spec"
+                )
+            found = (maybe, tuple(aliases), depth, async_fetch, batch)
             logger(
                 f"Registered device chain {attr_name} with aliases "
                 f"{aliases} (pipeline depth {depth}"
-                f"{', async fetch' if async_fetch else ''})",
+                f"{', async fetch' if async_fetch else ''}"
+                f"{f', batch {batch}' if batch > 1 else ''})",
                 True,
             )
         return found
@@ -974,9 +1023,28 @@ class ModuleBase(ABC):
         packed, meta = done
         result, posts = self._dev_unpack(packed, meta.want_posts)
         self._current_direction = meta.aliases[0]
-        self._current_acquisition_time = meta.acquisition_time
-        with tracer.span("on_device_result"):
-            self.on_device_result(result, posts, meta)
+        if meta.lane_acqs is None:
+            self._current_acquisition_time = meta.acquisition_time
+            with tracer.span("on_device_result"):
+                self.on_device_result(result, posts, meta)
+            return
+        # batched chain: every leaf carries a leading [batch] axis; deliver
+        # one on_device_result per FRESH lane, oldest first (pad lanes are
+        # repeats of the newest frame and are dropped here)
+        import dataclasses
+
+        import jax
+
+        n = len(meta.lane_acqs)
+        for i in range(n):
+            lane = jax.tree_util.tree_map(lambda x: x[i], (result, posts))
+            lane_result, lane_posts = lane
+            lane_meta = dataclasses.replace(
+                meta, acquisition_time=meta.lane_acqs[i]
+            )
+            self._current_acquisition_time = meta.lane_acqs[i]
+            with tracer.span("on_device_result"):
+                self.on_device_result(lane_result, lane_posts, lane_meta)
 
     def _loop(self, quit_flag: threading.Event, logger: Logger) -> None:
         # alias -> (frame, acquisition_time)
@@ -990,6 +1058,7 @@ class ModuleBase(ABC):
         dev = self._dev_spec
         dev_exec = None
         dev_aliases: Tuple[str, ...] = ()
+        dev_batch = 1
         if dev is not None:
             from ..engine.executor import (
                 DevicePipeline,
@@ -998,16 +1067,34 @@ class ModuleBase(ABC):
                 unpack_result,
             )
 
-            dev_bound, dev_aliases, dev_depth, dev_async = dev
+            dev_bound, dev_aliases, dev_depth, dev_async, dev_batch = dev
             # posts ride in the SAME single packed fetch as the result (one
             # device->host round trip per frame, u8 images at native width);
             # want_posts is a static arg, so each value gets its own trace
             # and its own unpack spec
             spec_cells: Dict[bool, Dict[str, Any]] = {True: {}, False: {}}
 
-            def packed_fn(*frames, tuners, want_posts, _fn=dev_bound):
-                result, posts = _fn(*frames, tuners=tuners, want_posts=want_posts)
-                return pack_result((result, posts), spec_cells[want_posts])
+            if dev_batch > 1:
+                # per-frame user chain, vmapped over the leading batch axis
+                # (tuners broadcast); pad lanes repeat the newest frame
+                import jax as _jax
+
+                def packed_fn(batched, *, tuners, want_posts, _fn=dev_bound):
+                    def one(frame):
+                        return _fn(
+                            frame, tuners=tuners, want_posts=want_posts
+                        )
+
+                    result, posts = _jax.vmap(one)(batched)
+                    return pack_result((result, posts), spec_cells[want_posts])
+
+            else:
+
+                def packed_fn(*frames, tuners, want_posts, _fn=dev_bound):
+                    result, posts = _fn(
+                        *frames, tuners=tuners, want_posts=want_posts
+                    )
+                    return pack_result((result, posts), spec_cells[want_posts])
 
             dev_exec = StreamExecutor(
                 DevicePipeline(packed_fn, static_argnames=("want_posts",)),
@@ -1036,12 +1123,22 @@ class ModuleBase(ABC):
                 covered_aliases.discard(ph)
                 covered_aliases.add(alias)
 
+        # queue-depth batching: once the batched alias's source is known,
+        # read_messages drains up to dev_batch unseen frames per tick
+        dev_batch_src: Optional[str] = None
+        batch_cache: Dict[str, Tuple[List[np.ndarray], List[int]]] = {}
+
         while not quit_flag.is_set():
             tick_start = time.monotonic()
 
+            batch_req = (
+                {dev_batch_src: dev_batch} if dev_batch_src else None
+            )
             try:
                 with tracer.span("read_messages"):
-                    video_messages = self._module_manager.read_messages()
+                    video_messages = self._module_manager.read_messages(
+                        batch=batch_req
+                    )
             except RuntimeError as e:
                 logger(f"Error: {e}", True)
                 quit_flag.set()
@@ -1072,6 +1169,14 @@ class ModuleBase(ABC):
                                 self._current_direction = alias
                                 self._current_acquisition_time = acq_time
                                 self.process(alias, frame)
+                        if dev_batch > 1 and dev_aliases and dev_aliases[0] in aliases:
+                            dev_batch_src = source.name
+                            if message.batch_data is not None:
+                                k = aliases.index(dev_aliases[0])
+                                batch_cache[dev_aliases[0]] = (
+                                    [f[k] for f in message.batch_data],
+                                    list(message.batch_acqs or []),
+                                )
                     else:
                         # single-plane frames also honor a bus plane name /
                         # declared alias so @sources handlers match blocks
@@ -1094,6 +1199,13 @@ class ModuleBase(ABC):
                             self._current_direction = alias
                             self._current_acquisition_time = acq_time
                             self.process(alias, image)
+                        if dev_batch > 1 and dev_aliases and alias == dev_aliases[0]:
+                            dev_batch_src = source.name
+                            if message.batch_data is not None:
+                                batch_cache[alias] = (
+                                    list(message.batch_data),
+                                    list(message.batch_acqs or []),
+                                )
                 elif message.status == ReadStatus.NO_NEW_FRAME:
                     if self._video_metadata[source.name].mark_as_dead():
                         logger(
@@ -1123,14 +1235,33 @@ class ModuleBase(ABC):
                     a in updated_aliases for a in dev_aliases
                 )
                 if fresh:
-                    frames = tuple(frame_cache[a][0] for a in dev_aliases)
-                    acq = max(frame_cache[a][1] for a in dev_aliases)
                     want_posts = not self._performance_enabled
+                    if dev_batch > 1:
+                        alias = dev_aliases[0]
+                        cached = batch_cache.pop(alias, None)
+                        if cached and cached[0]:
+                            lane_frames, lane_acqs = cached
+                        else:  # first tick (source not yet batch-read)
+                            lane_frames = [frame_cache[alias][0]]
+                            lane_acqs = [frame_cache[alias][1]]
+                        lane_frames = lane_frames[-dev_batch:]
+                        lane_acqs = lane_acqs[-dev_batch:]
+                        pad = dev_batch - len(lane_frames)
+                        stacked = np.stack(
+                            lane_frames + [lane_frames[-1]] * pad
+                        )
+                        frames = (stacked,)
+                        acq = lane_acqs[-1]
+                    else:
+                        frames = tuple(frame_cache[a][0] for a in dev_aliases)
+                        acq = max(frame_cache[a][1] for a in dev_aliases)
+                        lane_acqs = None
                     meta = DeviceResultMeta(
                         aliases=dev_aliases,
                         acquisition_time=acq,
                         submit_time=time.monotonic(),
                         want_posts=want_posts,
+                        lane_acqs=lane_acqs,
                     )
                     with tracer.span("device_submit"):
                         ready = dev_exec.submit(

@@ -91,6 +91,10 @@ int write_frame_planes(Bus* block, uint64_t acquisition_time,
 int read_frame(Bus* block, CFrame* frame, bool block_thread);
 int read_frame_into(Bus* block, CFrame* frame, unsigned char* dst,
                     size_t dst_capacity, bool block_thread);
+int read_frame_batch_into(Bus* block, CFrame* frame, unsigned char* dst,
+                          size_t stride, uint32_t max_frames,
+                          uint64_t* out_acqs, uint32_t* out_count,
+                          bool block_thread);
 CFrame* create_frame();
 void delete_frame(CFrame* frame);
 uint64_t frame_size(CFrame* frame);
@@ -194,6 +198,8 @@ class BlockAccessor:
         self._staging_pool: List[np.ndarray] = []
         self._staging_idx = 0
         self._staging_depth = 1
+        self._batch_staging_pool: List[np.ndarray] = []
+        self._batch_staging_idx = 0
         # writer-side fault injection (None unless $CUAUV_BUS_FAULTS is set)
         from .fault_injection import FaultPlan
 
@@ -428,6 +434,92 @@ class BlockAccessor:
         if self._staging_enabled:
             self._staging_idx += 1  # next read lands in the next pool slot
         return status, self._frame_data, self._acquisition_time
+
+    def read_frame_batch(
+        self, max_frames: int
+    ) -> Tuple[
+        ReadStatus,
+        List[Union[np.ndarray, Tuple[np.ndarray, ...]]],
+        List[int],
+    ]:
+        """Drain up to ``max_frames`` unseen frames in ONE native call
+        (oldest first) — the latest-K reader behind queue-depth batching.
+
+        Returns (status, frames, acq_times_ms); ``frames[i]`` is the i-th
+        frame's payload (ndarray, or tuple of plane ndarrays), each a view
+        into one row of a contiguous ``[max_frames, stride]`` staging
+        buffer. Single-plane batches are therefore strided slices of ONE
+        buffer and stack into a ``[B, H, W, C]`` batch without copying when
+        stride == frame bytes. Views stay valid for ``staging_depth - 1``
+        further batch reads (same contract as read_frame).
+        """
+        self._require_ctx()
+        if max_frames < 1:
+            raise ValueError("max_frames must be >= 1")
+
+        stride = max(self.max_entry_size, 1)
+        need = stride * max_frames
+        slot = self._batch_staging_idx % self._staging_depth
+        while len(self._batch_staging_pool) <= slot:
+            self._batch_staging_pool.append(np.empty(need, dtype=np.uint8))
+        if self._batch_staging_pool[slot].nbytes < need:
+            self._batch_staging_pool[slot] = np.empty(need, dtype=np.uint8)
+        staging = self._batch_staging_pool[slot]
+        dst = ffi.from_buffer(staging, require_writable=True)
+        acqs_c = ffi.new("uint64_t[]", max_frames)
+        count_c = ffi.new("uint32_t*")
+        status_i = _dllib.read_frame_batch_into(
+            self._block_ptr,
+            self._frame_ptr,
+            ffi.cast("unsigned char*", dst),
+            ffi.cast("size_t", stride),
+            ffi.cast("uint32_t", max_frames),
+            acqs_c,
+            count_c,
+            self._block_thread,
+        )
+        status = ReadStatus(status_i)
+        if status != ReadStatus.SUCCESS:
+            return status, [], []
+
+        count = int(count_c[0])
+        plane_count = int(self._frame_ptr.plane_count)
+        total_bytes = int(self._frame_ptr.total_size)
+        if count == 0 or plane_count == 0 or total_bytes == 0:
+            return ReadStatus.NO_NEW_FRAME, [], []
+
+        metas = []
+        for idx in range(plane_count):
+            m = self._frame_ptr.planes[idx]
+            dtype = self._type_lookup.get(int(m.type_size))
+            if dtype is None:
+                raise RuntimeError(
+                    f"unsupported type size {int(m.type_size)} in batch read"
+                )
+            metas.append(
+                (int(m.width), int(m.height), int(m.depth), int(m.offset),
+                 dtype, int(m.type_size))
+            )
+        self._last_plane_names = tuple(
+            ffi.string(self._frame_ptr.planes[i].name).decode()
+            for i in range(plane_count)
+        )
+
+        frames: List[Union[np.ndarray, Tuple[np.ndarray, ...]]] = []
+        for i in range(count):
+            row = staging[i * stride : i * stride + total_bytes]
+            planes = []
+            for w, h, d, off, dtype, ts in metas:
+                nbytes = w * h * d * ts
+                planes.append(
+                    row[off : off + nbytes].view(dtype).reshape(h, w, d)
+                )
+            frames.append(planes[0] if plane_count == 1 else tuple(planes))
+        acqs = [int(acqs_c[i]) for i in range(count)]
+        self._acquisition_time = acqs[-1]
+        self._frame_data = frames[-1]
+        self._batch_staging_idx += 1
+        return status, frames, acqs
 
     # -- context management -----------------------------------------------
 

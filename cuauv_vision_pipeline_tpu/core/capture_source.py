@@ -19,6 +19,7 @@ Behavioral parity with the reference capture framework
 
 from __future__ import annotations
 
+import os
 import signal
 import threading
 import time
@@ -235,7 +236,15 @@ class CaptureSource:
                     f"total serialized size for direction '{direction}' must "
                     "be positive"
                 )
-            accessor = BlockAccessor(direction, max_entry_size_bytes=total_bytes)
+            # 8 ring slots (vs the bus default 4): gives downstream latest-K
+            # batching readers (@device_fn(batch=N)) a stable window of 7
+            # frames before the writer laps them; ~8 frames of /dev/shm.
+            slots = int(os.environ.get("CUAUV_BUS_SLOTS", "8"))
+            accessor = BlockAccessor(
+                direction,
+                max_entry_size_bytes=total_bytes,
+                slot_count=slots,
+            )
             accessor.__enter__()
             self._frameworks[direction] = accessor
 

@@ -45,8 +45,12 @@ class BuoyLAB(ModuleBase):
     # only the forward plane ships to the device (the reference module also
     # took zed[normal] but never used it, reference modules/red_buoy.py:18 —
     # transferring it would waste 24.9 MB/frame of H2D); depth-2 + async
-    # fetch keep transfer, compute, and readback all overlapped
-    @device_fn("zed[forward]", depth=2, async_fetch=True)
+    # fetch keep transfer, compute, and readback all overlapped. batch=4:
+    # when the module falls behind the camera (e.g. every fetch pays a
+    # high-latency link RTT) each dispatch drains up to 4 queued frames as
+    # one vmapped graph instead of dropping 3 — when it keeps up, 1 fresh
+    # lane per tick and latency is unchanged.
+    @device_fn("zed[forward]", depth=2, async_fetch=True, batch=4)
     def buoy_chain(self, image, *, tuners, want_posts):
         threshed, cleaned, best = red_buoy_fused(
             image, tuners["thresh_min"], tuners["thresh_max"]

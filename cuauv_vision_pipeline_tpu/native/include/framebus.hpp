@@ -148,6 +148,23 @@ public:
     int read_into(Frame& frame, void* dst, std::size_t dst_capacity,
                   bool block_thread, int timeout_ms = 1000) noexcept;
 
+    /// Batched drain for a reader running behind the writer: copy up to
+    /// `max_frames` unseen frames (uids in (frame.uid, latest]),
+    /// OLDEST-FIRST, frame i landing at dst + i*stride (dst holds
+    /// max_frames*stride bytes; stride >= the block's max_entry_size).
+    /// Per-frame acquisition times land in out_acqs[max_frames]. All frames
+    /// of one batch share the plane layout of the batch's first frame — a
+    /// mid-stream layout change ends the batch there (the next call resumes
+    /// at the change). Frames the writer already overwrote (reader lapped by
+    /// more than the ring depth) are skipped. Returns SUCCESS with
+    /// *out_count >= 1, or NO_NEW_FRAME / FRAMEWORK_DELETED / ERROR. On
+    /// success frame.uid advances to the newest frame read and frame's
+    /// plane metadata describes the (shared) batch layout.
+    int read_batch_into(Frame& frame, void* dst, std::size_t stride,
+                        std::uint32_t max_frames, std::uint64_t* out_acqs,
+                        std::uint32_t* out_count, bool block_thread,
+                        int timeout_ms = 1000) noexcept;
+
     /// Creator teardown: set the deleted flag, wake blocked readers, and
     /// unlink the backing file so the name can be recycled. Idempotent;
     /// no-op for non-creators. Also performed by the destructor.

@@ -332,6 +332,141 @@ int Bus::read_into(Frame& frame, void* dst, std::size_t dst_capacity,
     return read_impl(frame, dst, dst_capacity, block_thread, timeout_ms);
 }
 
+int Bus::read_batch_into(Frame& frame, void* dst, std::size_t stride,
+                         std::uint32_t max_frames, std::uint64_t* out_acqs,
+                         std::uint32_t* out_count, bool block_thread,
+                         int timeout_ms) noexcept {
+    if (out_count != nullptr) {
+        *out_count = 0;
+    }
+    if (_header == nullptr || dst == nullptr || max_frames == 0 ||
+        out_count == nullptr || stride < _header->max_entry_size) {
+        return ERROR;
+    }
+
+    // Wait phase: identical semantics to read().
+    for (;;) {
+        if (_header->deleted.load(std::memory_order_acquire)) {
+            return FRAMEWORK_DELETED;
+        }
+        const std::uint32_t fw =
+            _header->futex_word.load(std::memory_order_acquire);
+        const std::uint64_t latest =
+            _header->latest_uid.load(std::memory_order_acquire);
+        if (latest != 0 && latest > frame.uid) {
+            break;
+        }
+        if (!block_thread) {
+            return NO_NEW_FRAME;
+        }
+        struct timespec ts{};
+        ts.tv_sec = timeout_ms / 1000;
+        ts.tv_nsec = static_cast<long>(timeout_ms % 1000) * 1000000L;
+        long rc = futex(&_header->futex_word, FUTEX_WAIT, fw, &ts);
+        if (rc != 0 && errno == ETIMEDOUT) {
+            return NO_NEW_FRAME;
+        }
+    }
+
+    const std::uint64_t latest =
+        _header->latest_uid.load(std::memory_order_acquire);
+    // Only the newest max_frames are wanted; older unseen uids are stale by
+    // definition (latest-wins bus).
+    std::uint64_t begin = frame.uid + 1;
+    if (latest >= max_frames && begin < latest - max_frames + 1) {
+        begin = latest - max_frames + 1;
+    }
+
+    std::uint32_t count = 0;
+    bool have_layout = false;
+    std::uint32_t layout_planes = 0;
+    PlaneMeta layout[MAX_PLANE_CNT];
+    std::uint64_t last_uid = frame.uid;
+    std::uint64_t last_acq = 0;
+    std::uint64_t last_total = 0;
+
+    for (std::uint64_t u = begin; u <= latest && count < max_frames; ++u) {
+        SlotHeader& slot = _slots[u % _header->slot_count];
+        const unsigned char* src =
+            _data + static_cast<std::size_t>(u % _header->slot_count) *
+                        align_up(_header->max_entry_size, 128);
+
+        const std::uint64_t s1 = slot.seq.load(std::memory_order_acquire);
+        if (s1 & 1ull) {
+            continue; // writer mid-publish on this slot (we got lapped)
+        }
+        std::atomic_thread_fence(std::memory_order_acquire);
+        if (slot.uid != u) {
+            continue; // slot recycled for a newer uid; this frame is gone
+        }
+        const std::uint64_t acq = slot.acquisition_time;
+        const std::uint64_t total = slot.total_size;
+        const std::uint32_t planes = slot.plane_count;
+        PlaneMeta metas[MAX_PLANE_CNT];
+        for (std::uint32_t i = 0; i < planes && i < MAX_PLANE_CNT; ++i) {
+            metas[i] = slot.planes[i];
+        }
+        if (planes == 0 || planes > MAX_PLANE_CNT ||
+            total > _header->max_entry_size) {
+            continue; // torn metadata
+        }
+        if (have_layout) {
+            bool same = planes == layout_planes;
+            for (std::uint32_t i = 0; same && i < planes; ++i) {
+                same = metas[i].width == layout[i].width &&
+                       metas[i].height == layout[i].height &&
+                       metas[i].depth == layout[i].depth &&
+                       metas[i].type_size == layout[i].type_size &&
+                       metas[i].offset == layout[i].offset;
+            }
+            if (!same) {
+                break; // layout changed: end the batch before this frame
+            }
+        }
+
+        unsigned char* out = static_cast<unsigned char*>(dst) +
+                             static_cast<std::size_t>(count) * stride;
+        std::memcpy(out, src, total);
+
+        std::atomic_thread_fence(std::memory_order_acquire);
+        const std::uint64_t s2 = slot.seq.load(std::memory_order_acquire);
+        if (s1 != s2 || slot.uid != u) {
+            continue; // torn copy (lapped mid-memcpy): drop this frame
+        }
+
+        if (!have_layout) {
+            have_layout = true;
+            layout_planes = planes;
+            for (std::uint32_t i = 0; i < planes; ++i) {
+                layout[i] = metas[i];
+            }
+        }
+        if (out_acqs != nullptr) {
+            out_acqs[count] = acq;
+        }
+        ++count;
+        last_uid = u;
+        last_acq = acq;
+        last_total = total;
+    }
+
+    if (count == 0) {
+        // everything in (frame.uid, latest] was torn/lapped — consume up to
+        // latest so the caller retries cleanly on the next publish
+        frame.uid = latest > frame.uid ? latest - 1 : frame.uid;
+        return NO_NEW_FRAME;
+    }
+    frame.uid = last_uid;
+    frame.acquisition_time = last_acq;
+    frame.total_size = last_total;
+    frame.plane_count = layout_planes;
+    for (std::uint32_t i = 0; i < layout_planes; ++i) {
+        frame.planes[i] = layout[i];
+    }
+    *out_count = count;
+    return SUCCESS;
+}
+
 int Bus::read_impl(Frame& frame, void* ext_dst, std::size_t ext_capacity,
                    bool block_thread, int timeout_ms) noexcept {
     if (_header == nullptr) {

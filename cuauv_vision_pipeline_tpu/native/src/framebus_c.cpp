@@ -239,6 +239,29 @@ int read_frame_into(BusHandle* handle, CFrame* frame, unsigned char* dst,
     return rc;
 }
 
+// Batched drain: copy up to max_frames unseen frames oldest-first, frame i
+// at dst + i*stride; per-frame acquisition times land in out_acqs
+// (uint64[max_frames]); *out_count receives the number read. Metadata in
+// `frame` describes the shared batch layout; frame->data is NULL (payload
+// in caller memory). Returns SUCCESS / NO_NEW_FRAME / FRAMEWORK_DELETED /
+// ERROR like read_frame.
+int read_frame_batch_into(BusHandle* handle, CFrame* frame,
+                          unsigned char* dst, size_t stride,
+                          uint32_t max_frames, uint64_t* out_acqs,
+                          uint32_t* out_count, bool block_thread) {
+    Bus* block = bus_of(handle);
+    if (block == nullptr || frame == nullptr || frame->impl == nullptr) {
+        return framebus::ERROR;
+    }
+    int rc = block->read_batch_into(*frame->impl, dst, stride, max_frames,
+                                    out_acqs, out_count, block_thread);
+    if (rc == framebus::SUCCESS) {
+        sync_cframe(frame);
+        frame->data = nullptr;
+    }
+    return rc;
+}
+
 CFrame* create_frame() {
     auto* cf = new (std::nothrow) CFrame{};
     if (cf == nullptr) {

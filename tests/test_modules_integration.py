@@ -301,3 +301,60 @@ def test_color_balance_async_pipeline_posts_pairs(unique_direction):
     bal = dict(posted)["balanced"]
     assert orig.shape == bal.shape == (72, 128, 3)
     assert not np.array_equal(orig, bal)  # default flags change the frame
+
+
+def test_device_fn_batch_drains_queued_frames(unique_direction):
+    """@device_fn(batch=K): frames that queue up while the chain is busy
+    ride ONE vmapped dispatch and on_device_result fires once per fresh
+    frame, oldest first, each with its own acquisition time."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+
+    class Batcher(ModuleBase):
+        @device_fn(unique_direction, batch=4)
+        def chain(self, image, *, tuners, want_posts):
+            # per-frame chain; the framework vmaps it over the batch axis
+            return {"mean": jnp.mean(image.astype(jnp.float32))}, {}
+
+        def on_device_result(self, result, posts, meta):
+            seen.append((float(result["mean"]), meta.acquisition_time))
+
+    writer = BlockAccessor(
+        unique_direction, max_entry_size_bytes=32 * 32 * 3, slot_count=8
+    )
+    module = Batcher([unique_direction], [], fps=200, argv=[])
+    quit_flag = threading.Event()
+    with writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                # first frame: lets the chain bind + compile
+                frame = lambda v: np.full((32, 32, 3), v, np.uint8)
+                writer.write_frame(1000, frame(10))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and not seen:
+                    time.sleep(0.02)
+                assert seen, "first frame never processed"
+                # burst: 3 frames land between module ticks; the batch read
+                # must deliver ALL of them (a latest-wins reader would drop 2)
+                writer.write_frame(2000, frame(20))
+                writer.write_frame(2001, frame(30))
+                writer.write_frame(2002, frame(40))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and len(seen) < 4:
+                    time.sleep(0.02)
+            finally:
+                quit_flag.set()
+                loop.join(timeout=20)
+
+    assert len(seen) >= 4, seen
+    means = [round(m) for m, _ in seen[:4]]
+    acqs = [a for _, a in seen[:4]]
+    assert means == [10, 20, 30, 40], means  # oldest-first, none dropped
+    assert acqs == [1000, 2000, 2001, 2002], acqs  # per-lane camera stamps
