@@ -113,6 +113,20 @@ def test_fit_ellipse_close_to_cv2():
 
 
 def test_canny_bit_exact_vs_cv2():
+    # one L1 + one L2 threshold set in the fast loop (each (lo,hi,l2) is a
+    # separate jit compile); the full matrix runs under -m slow below
+    img = _blobs(5, thresh=120)
+    noise = RNG.integers(0, 256, (96, 128), np.uint8)
+    for mat in (img, noise):
+        for lo, hi, l2 in ((50, 150, False), (30, 90, True)):
+            ref = cv2.Canny(mat, lo, hi, L2gradient=l2)
+            got = np.asarray(F.canny(mat, lo, hi, l2_gradient=l2))
+            n = int((ref != got).sum())
+            assert n == 0, f"canny mismatches={n} lo={lo} hi={hi} l2={l2}"
+
+
+@pytest.mark.slow
+def test_canny_bit_exact_full_matrix():
     img = _blobs(5, thresh=120)
     smooth = cv2.GaussianBlur(RNG.integers(0, 256, (96, 128), np.uint8), (7, 7), 0)
     noise = RNG.integers(0, 256, (61, 83), np.uint8)
@@ -155,6 +169,7 @@ def test_find_line_segments_endpoints():
     assert abs(min(x1, x2) - 20) <= 2 and abs(max(x1, x2) - 79) <= 2
 
 
+@pytest.mark.slow
 def test_find_circles_synthetic():
     img = np.zeros((120, 120), np.uint8)
     cv2.circle(img, (60, 60), 25, 255, -1)

@@ -315,6 +315,7 @@ def test_ultralytics_mapping_round_trip(task):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ultralytics_export_key_names():
     """The exported names must be the REAL ultralytics v8 state-dict keys
     (spot-checked against the published yolov8n-obb layout)."""

@@ -38,6 +38,7 @@ def test_loss_decreases_on_fixed_batch():
     assert losses[-1] < losses[0] * 0.9, f"no learning: {losses}"
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from cuauv_vision_pipeline_tpu.models.yolo.weights import (
         load_checkpoint,
