@@ -36,6 +36,7 @@ import numpy as np
 
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "12"))
 WARM_S = float(os.environ.get("BENCH_WARM_S", "1500"))
+SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
 CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,s,t,h").split(",")
 
 RESULTS: list = []
@@ -163,11 +164,17 @@ def measure_counter(read_count, sample_latency=None, seconds: float = MEASURE_S)
 
 def wait_counter(read_count, deadline_s: float, what: str, min_advance: int = 3) -> None:
     """Wait until the counter advances by min_advance (a single bump can be
-    a module's init write, not flowing results)."""
+    a module's init write, not flowing results), then let the pipeline
+    SETTLE before the caller measures: the first results after a module's
+    warm-up drain frames that queued during the first-readback compile
+    penalty (stale camera stamps, trickle rate) and would poison a window
+    that starts immediately."""
     c0 = read_count()
     end = time.monotonic() + deadline_s
     while time.monotonic() < end:
         if read_count() - c0 >= min_advance:
+            log(f"{what}: flowing; settling {SETTLE_S:.0f}s before measuring")
+            time.sleep(SETTLE_S)
             return
         time.sleep(0.25)
     raise TimeoutError(f"no progress on {what} within {deadline_s:.0f}s")
