@@ -120,6 +120,45 @@ class YoloModel:
         fixed-shape decode dict of device arrays."""
         return self._forward(self.variables, image)
 
+    def device_decode_multi(self, images) -> Dict:
+        """Multi-camera batched forward: letterbox each frame (shapes are
+        static per camera at trace time), stack to ``[N, S, S, 3]``, and
+        run ONE batched conv stack through the MXU — N cameras cost one
+        dispatch instead of N. Every leaf of the returned decode dict
+        carries a leading camera axis; slice camera i and pass it to
+        summarize_decoded with that camera's original (h, w)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .decode import decode
+        from .model import preprocess
+
+        xs = jnp.concatenate(
+            [preprocess(im[None], self.image_size) for im in images], axis=0
+        )
+        variables = self.variables
+        if self.half_precision:
+            xs = xs.astype(jnp.bfloat16)
+            variables = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating)
+                else p,
+                variables,
+            )
+
+        def one(x):
+            outputs = self.model.apply(variables, x[None])
+            outputs = jax.tree.map(lambda o: o.astype(jnp.float32), outputs)
+            return decode(
+                outputs,
+                self.image_size,
+                reg_max=self.model.reg_max,
+                conf_thresh=self.conf_thresh,
+                max_det=self.max_det,
+            )
+
+        return jax.vmap(one)(xs)
+
     def summarize_decoded(
         self, decoded_np: Dict, orig_hw: Tuple[int, int]
     ) -> List[Dict]:

@@ -15,6 +15,7 @@ MODULES = [
     "cuauv_vision_pipeline_tpu.modules.gate",
     "cuauv_vision_pipeline_tpu.modules.bins",
     "cuauv_vision_pipeline_tpu.modules.yolo",
+    "cuauv_vision_pipeline_tpu.modules.yolo_multicam",
     "cuauv_vision_pipeline_tpu.modules.lab_test",
     "cuauv_vision_pipeline_tpu.modules.test",
     "cuauv_vision_pipeline_tpu.modules.example",

@@ -116,3 +116,69 @@ def test_performance_mode_skips_debug_outputs():
     assert "original image" not in posts
     assert module._frames_processed == 1  # telemetry still flows
     assert shm.yolo_status.get_field("frames") == 1
+
+
+def test_multicam_one_dispatch_two_cameras():
+    """YoloMulticam: both cameras through one batched decode; per-camera
+    direction gating; detections dispatch to that camera's handlers."""
+    from cuauv_vision_pipeline_tpu.core.base import DeviceResultMeta
+    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
+    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+    from cuauv_vision_pipeline_tpu.modules import yolo as Y
+    from cuauv_vision_pipeline_tpu.modules import yolo_multicam as YM
+
+    module = object.__new__(YM.YoloMulticam)
+    posts = {}
+    module.post = lambda name, img, cs="BGR": posts.__setitem__(name, img.shape)
+    module._performance_enabled = False
+    values = {t.name: 0.05 for t in Y.TUNERS}
+
+    class Tuners(dict):
+        def __getitem__(self, k):
+            return values[k]
+
+    module._module_manager = Tuners()
+    module.normalize = lambda c: (c[0] / 160 - 0.5, c[1] / 160 - 0.5)
+    module.normalize_axis = lambda c, a: c / 160 - 0.5
+    module.get_latency = lambda: 0
+    HandlerMixin.__init__(module, Y.HANDLERS)
+    module.model = YoloModel(None, task="obb", image_size=160, conf_thresh=0.0,
+                             max_det=8)
+    module.yolo_model_type = module.model.task
+    module.map_fn = MAP_FN[module.yolo_model_type]
+
+    # torpedoes active on the forward camera, bins on the downward one
+    for flag, direction in (
+        ("yolo_torpedoes_board", "forward"),
+        ("yolo_bins", "downward"),
+    ):
+        shm.active_objects.set_field(flag, True)
+        shm.active_objects.set_field(f"{flag}_direction", direction)
+    for flag in ("yolo_slalom", "yolo_gate", "yolo_gate_behind",
+                 "yolo_manipulator"):
+        shm.active_objects.set_field(flag, False)
+
+    rng = np.random.default_rng(1)
+    fwd = rng.integers(0, 255, (120, 160, 3), np.uint8)
+    flir = rng.integers(0, 255, (80, 100, 3), np.uint8)
+
+    decoded, chain_posts = module.detect_chain(
+        fwd, flir, tuners={}, want_posts=True
+    )
+    decoded = jax.tree.map(np.asarray, decoded)
+    chain_posts = jax.tree.map(np.asarray, chain_posts)
+    # one batched dispatch: every decode leaf has the camera axis in front
+    assert all(v.shape[0] == 2 for v in decoded.values())
+    meta = DeviceResultMeta(
+        aliases=("forward", "flir"),
+        acquisition_time=int(time.monotonic() * 1000),
+        submit_time=time.monotonic(),
+    )
+    module.on_device_result(decoded, chain_posts, meta)
+
+    assert "image_forward" in posts and posts["image_forward"] == fwd.shape
+    assert "image_downward" in posts and posts["image_downward"] == flir.shape
+    # per-camera track spaces exist
+    assert len(module._cam_trackers) == 2
+    assert shm.yolo_status.get().frames >= 1
