@@ -37,7 +37,7 @@ import numpy as np
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "12"))
 WARM_S = float(os.environ.get("BENCH_WARM_S", "1500"))
 SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
-CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,s,t,h").split(",")
+CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,s,t,b,y,h").split(",")
 
 RESULTS: list = []
 
@@ -535,6 +535,158 @@ def transfer_bench() -> None:
     )
 
 
+def bus_roundtrip_bench() -> None:
+    """Camera->bus->module-host latency with NO device in the loop: writer
+    process publishes 720p frames through the real /dev/shm seqlock ring, a
+    reader consumes them; p50 of (read time - acquisition stamp). This is
+    the pure host leg of the camera-to-detection budget."""
+    import uuid
+
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import (
+        BlockAccessor,
+        ReadStatus,
+    )
+
+    direction = f"bench_bus_{uuid.uuid4().hex[:8]}"
+    writer_code = (
+        "import sys, time, numpy as np\n"
+        "from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor\n"
+        f"acc = BlockAccessor('{direction}', max_entry_size_bytes=1280*720*3, slot_count=8)\n"
+        "frame = np.random.default_rng(0).integers(0,255,(720,1280,3),np.uint8)\n"
+        "with acc:\n"
+        "    end = time.monotonic() + 25\n"
+        "    while time.monotonic() < end:\n"
+        "        acc.write_frame(int(time.monotonic()*1000), frame)\n"
+        "        time.sleep(1/60)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", writer_code],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT,
+        preexec_fn=_preexec,
+    )
+    lats = []
+    try:
+        reader = BlockAccessor(direction)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            try:
+                with reader:
+                    reader.block_thread()
+                    end = time.monotonic() + 10
+                    while time.monotonic() < end and len(lats) < 400:
+                        status, data, acq = reader.read_frame()
+                        if status == ReadStatus.SUCCESS and data is not None:
+                            # touch one byte per page-ish to include the
+                            # consumer-visible cost, then stamp
+                            _ = int(data[0, 0, 0]) + int(data[-1, -1, -1])
+                            lats.append(time.monotonic() * 1000 - acq)
+                break
+            except Exception:
+                time.sleep(0.5)  # writer not up yet
+    finally:
+        stop(proc)
+    emit(
+        "bus_roundtrip_720p_p50_ms",
+        round(p50(lats), 2),
+        "ms",
+        n_samples=len(lats),
+        note="capture proc -> /dev/shm seqlock ring -> reader (no device); the host leg of camera-to-detection",
+    )
+
+
+def yolo_host_path_bench() -> None:
+    """Host half of the YOLO module tick: summarize_decoded (letterbox
+    undo + validity filter) + class bucketing + all six OBB handlers on a
+    realistic decode dict. With the device forward measured separately
+    (0.42 ms) and H2D/bus measured, this completes the camera-to-detection
+    budget without the tunnel in the loop.
+
+    Runs in a SUBPROCESS: model construction touches the device and its
+    first host readback would de-pipeline this process's dispatch path,
+    poisoning the headline loop that runs afterwards (BENCH_NOTES.md
+    "de-pipelining trap")."""
+    code = (
+        "from bench import _yolo_host_path_inner\n"
+        "print('YOLO_HOST_MS', _yolo_host_path_inner())\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    ms = None
+    for line in out.stdout.splitlines():
+        if line.startswith("YOLO_HOST_MS"):
+            ms = float(line.split()[1])
+    if ms is None:
+        raise RuntimeError(f"host-path subprocess failed: {out.stderr[-800:]}")
+    emit(
+        "yolo_host_path_ms",
+        round(ms, 2),
+        "ms",
+        note="summarize + bucketing + six OBB handlers per frame, host only (perf mode)",
+    )
+
+
+def _yolo_host_path_inner() -> float:
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+    from cuauv_vision_pipeline_tpu.modules.yolo import (
+        HANDLERS,
+        TUNERS,
+        Yolo,
+        _ACTIVE_FLAG,
+    )
+    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
+
+    rng = np.random.default_rng(0)
+    module = object.__new__(Yolo)
+    module.post = lambda *a, **k: None
+    module._performance_enabled = True
+    values = {t.name: 0.05 for t in TUNERS}
+
+    class _T(dict):
+        def __getitem__(self, k):
+            return values[k]
+
+    module._module_manager = _T()
+    module.normalize = lambda c: (c[0] / 640 - 0.5, c[1] / 640 - 0.5)
+    module.normalize_axis = lambda c, a: c / 640 - 0.5
+    module.get_latency = lambda: 0
+    HandlerMixin.__init__(module, HANDLERS)
+    module.model = YoloModel(None, task="obb", image_size=640, max_det=32)
+    module.map_fn = MAP_FN["obb"]
+    for flag in _ACTIVE_FLAG.values():
+        shm.active_objects.set_field(flag, True)
+        shm.active_objects.set_field(f"{flag}_direction", "forward")
+
+    # realistic decode dict: max_det candidates, ~8 valid
+    n = module.model.max_det
+    decoded = {
+        "xyxy": rng.random((n, 4), np.float32) * 640,
+        "score": rng.random((n,), np.float32),
+        "cls": rng.integers(0, 15, (n,)).astype(np.float32),
+        "angle": rng.random((n,), np.float32),
+        "valid": (np.arange(n) < 8),
+    }
+    image = rng.integers(0, 255, (720, 1280, 3), np.uint8)
+
+    def tick():
+        results = module.model.summarize_decoded(dict(decoded), (720, 1280))
+        module._dispatch_detections("forward", image, results)
+
+    tick()  # warm
+    t0 = time.perf_counter()
+    N = 50
+    for _ in range(N):
+        tick()
+    return (time.perf_counter() - t0) / N * 1000
+
+
 def headline_device_chain() -> None:
     """Device-resident red_buoy chain throughput (the chip-capacity
     headline, as in round 1)."""
@@ -595,6 +747,8 @@ def main() -> None:
         "5": ("config 5: yolo p50 latency", config5_yolo_latency),
         "s": ("stereo fan-in chain", stereo_fanin_bench),
         "t": ("H2D transfer", transfer_bench),
+        "b": ("bus roundtrip", bus_roundtrip_bench),
+        "y": ("yolo host path", yolo_host_path_bench),
     }
     # global budget: every module-process start on this harness pays an
     # uncacheable first-readback remote compile (150-550 s observed), so a

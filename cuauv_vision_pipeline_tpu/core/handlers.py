@@ -40,6 +40,14 @@ class HandlerBase(ABC):
         self.tuners = parent.tuners
         self.get_latency = parent.get_latency
 
+    @property
+    def performance(self) -> bool:
+        """True when the parent module runs in performance mode: posts are
+        no-ops, so handlers should skip annotation work (image copies,
+        polyline rasterization) and only write shm results — measured at
+        ~3-8 ms of drawing per detection otherwise."""
+        return bool(getattr(self._parent, "_performance_enabled", False))
+
     @abstractmethod
     def process(self, direction: str, image: np.ndarray, *args, **kwargs):
         """Process step; the parent module decides when to call this and with

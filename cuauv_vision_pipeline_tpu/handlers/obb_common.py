@@ -75,13 +75,14 @@ class ObbHandlerBase(HandlerBase):
             return None
 
         tl, tr, bl, br = order_points(best.corners)
-        draw_polylines(
-            img,
-            [np.array([br, tr, tl, bl], dtype=np.int32)],
-            is_closed=True,
-            color=color,
-            thickness=3,
-        )
+        if not self.performance:  # annotation is dead work in perf mode
+            draw_polylines(
+                img,
+                [np.array([br, tr, tl, bl], dtype=np.int32)],
+                is_closed=True,
+                color=color,
+                thickness=3,
+            )
 
         # normalize takes (y, x); corners are (x, y)
         ntl = self.normalize(reverse(tl))

@@ -34,8 +34,9 @@ class SlalomOBB(ObbHandlerBase):
     ):
         threshold = float(self.tuners[self.threshold_tuner])
 
-        # draw everything above threshold (reference slalom.py:63-93)
-        for det in red_results + white_results:
+        # draw everything above threshold (reference slalom.py:63-93);
+        # dead work in performance mode (posts are no-ops)
+        for det in [] if self.performance else red_results + white_results:
             if det.confidence >= threshold:
                 tl, tr, bl, br = order_points(det.corners)
                 color = Color.RED if det in red_results else Color.WHITE

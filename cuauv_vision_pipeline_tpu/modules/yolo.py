@@ -167,7 +167,10 @@ class Yolo(ModuleBase, HandlerMixin):
                 continue
             if self._active(det):
                 args = [buckets[det][cls] for cls in classes]
-                self.handlers[det].process(direction, image.copy(), *args)
+                # handlers annotate their copy; in performance mode nothing
+                # draws or posts, so skip the 2.7 MB copy too
+                frame = image if self._performance_enabled else image.copy()
+                self.handlers[det].process(direction, frame, *args)
             elif not self._performance_enabled:
                 self.handlers[det].post_grayscale(image)
 
