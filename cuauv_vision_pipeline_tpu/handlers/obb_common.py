@@ -18,7 +18,6 @@ import numpy as np
 from ..core.handlers import HandlerBase
 from ..models.yolo.data import OBBData
 from ..models.yolo.utils import order_points, quad_area_normalized
-from ..utils.color import bgr_to_gray
 from ..utils.draw import Color, draw_polylines
 
 
@@ -36,8 +35,12 @@ class ObbHandlerBase(HandlerBase):
 
     def post_grayscale(self, img: np.ndarray) -> None:
         """Fallback post when this detector is inactive
-        (reference modules/yolo.py post_grayscale path)."""
-        gray, _ = bgr_to_gray(img)
+        (reference modules/yolo.py post_grayscale path). Numpy gray: this
+        runs per frame on the module HOST loop, where an eager jax call
+        costs a device round trip on remote-attached backends."""
+        from ..ops.color_np import bgr_to_gray_np
+
+        gray = bgr_to_gray_np(img)
         self.post(f"{self.name} handler", np.repeat(gray[..., None], 3, -1))
 
     def _group(self):

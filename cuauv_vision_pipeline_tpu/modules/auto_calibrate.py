@@ -13,7 +13,7 @@ import numpy as np
 from ..core import shm
 from ..core.base import ModuleBase
 from ..core.tuners import BoolTuner, DoubleTuner, IntTuner
-from ..utils.color import bgr_to_lab
+from ..ops.color_np import lab_l_np
 from ..utils.draw import Color, draw_rect
 
 module_tuners = [
@@ -37,7 +37,7 @@ class AutoCalibrate(ModuleBase):
         calib = shm.camera_calibration
 
         if self.tuners["enable_exposure"]:
-            _, (l_chan, _, _) = bgr_to_lab(img)
+            l_chan = lab_l_np(img)  # numpy: host loop, no eager jax
             brightness = float(l_chan.mean())
             error = self.tuners["target_brightness"] - brightness
             rate = self.tuners["exposure_rate"]

@@ -13,7 +13,7 @@ import numpy as np
 from ..core import shm
 from ..core.base import ModuleBase
 from ..core.tuners import BoolTuner, DoubleTuner, IntTuner
-from ..utils.color import bgr_to_lab
+from ..ops.color_np import lab_l_np
 
 module_tuners = [
     BoolTuner("auto_exposure_loop", True),
@@ -46,7 +46,7 @@ class AutoCalibrateZed(ModuleBase):
                 calib.set_field(name, value)
 
         if self.tuners["auto_exposure_loop"]:
-            _, (l_chan, _, _) = bgr_to_lab(img)
+            l_chan = lab_l_np(img)  # numpy: host loop, no eager jax
             error = self.tuners["target_brightness"] - float(l_chan.mean())
             rate = self.tuners["exposure_rate"]
             exposure = calib.zed_exposure.get()

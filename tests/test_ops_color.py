@@ -153,3 +153,20 @@ def test_bgr_rgb_swap():
         np.asarray(C.rgb_to_gray(img[..., ::-1])),
         cv2.cvtColor(img, cv2.COLOR_BGR2GRAY),
     )
+
+
+def test_numpy_host_twins_bit_exact():
+    """ops/color_np numpy twins == the jit ops (host loops must not make
+    eager jax calls; these provide the same bit-exact values)."""
+    from cuauv_vision_pipeline_tpu.ops import color_np as NP
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    np.testing.assert_array_equal(
+        NP.bgr_to_gray_np(img), np.asarray(C.bgr_to_gray(img))
+    )
+    np.testing.assert_array_equal(
+        NP.lab_l_np(img), np.asarray(C.bgr_to_lab(img))[..., 0]
+    )
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)[..., 0]
+    np.testing.assert_array_equal(NP.lab_l_np(img), ref)
