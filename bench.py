@@ -51,13 +51,22 @@ def emit(metric: str, value, unit: str, **extra) -> None:
     line.update(extra)
     RESULTS.append(line)
     print(json.dumps(line), flush=True)
-    # persist incrementally so a hard-killed run still leaves its metrics
+    # persist incrementally (a hard-killed run still leaves its metrics),
+    # MERGING into the existing file so a subset run (BENCH_CONFIGS=4)
+    # refreshes its own metrics without dropping the rest of the sweep
     try:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"
         )
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = []
+        fresh = {r["metric"] for r in RESULTS}
+        merged = [r for r in existing if r.get("metric") not in fresh] + RESULTS
         with open(path, "w") as f:
-            json.dump(RESULTS, f, indent=1)
+            json.dump(merged, f, indent=1)
     except OSError:
         pass
 
