@@ -44,6 +44,7 @@ MODULES = [
     "cuauv_vision_pipeline_tpu.capture_sources.zed",
     "cuauv_vision_pipeline_tpu.misc.runner",
     "cuauv_vision_pipeline_tpu.misc.yolo_shm",
+    "cuauv_vision_pipeline_tpu.misc.shm_bridge",
     "cuauv_vision_pipeline_tpu.misc.log_fixer",
     "cuauv_vision_pipeline_tpu.misc.hypertune",
     "cuauv_vision_pipeline_tpu.misc.image_ordering_test",
