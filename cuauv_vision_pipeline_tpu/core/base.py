@@ -485,6 +485,19 @@ class ModuleReader:
     def known_tuners(self) -> List[str]:
         return list(self._all_tuners)
 
+    def tuner_values(self) -> Dict[str, Any]:
+        """Current value of every known tuner (GUI surface)."""
+        return {
+            name: entry[2].value for name, entry in self._all_tuners.items()
+        }
+
+    def tuner_cast(self, name: str, raw: str) -> Any:
+        """Parse a string (e.g. an HTTP form value) into the tuner's type."""
+        current = self._all_tuners[name][2].value
+        if isinstance(current, bool):
+            return raw.strip().lower() in ("1", "true", "on", "yes")
+        return type(current)(float(raw))
+
     def _rediscover(self, exit_stack: contextlib.ExitStack) -> None:
         """Pick up post/tune blocks created after construction."""
         for post_block in self.active_posts:

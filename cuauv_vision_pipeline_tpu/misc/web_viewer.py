@@ -6,10 +6,20 @@ The reference's WebGUI is an external repo consuming ModuleReader
 dependencies: a stdlib http.server serving
 
 * ``/``                     — an index page listing active modules, their
-                              post streams, and live tuner controls;
+                              post streams, live tuner controls, module
+                              toggles (incl. record start/stop), and live
+                              shm result groups;
 * ``/stream/<module>/<post>`` — multipart MJPEG of that post block;
 * ``/tuner/<module>?name=&value=`` — POST target wired to
-                              ModuleReader.update_tuner_value.
+                              ModuleReader.update_tuner_value;
+* ``/toggle/<module>/<source>?on=`` — POST flips the module toggler's shm
+                              flag (record/replay and any vehicle-config
+                              module start/stop from the browser);
+* ``/shm/<group>``          — JSON snapshot of a result group (the index
+                              polls these for a live detection readout).
+
+Plain HTTP polling, not websockets: the streams are MJPEG anyway, tuner
+writes are sub-ms, and stdlib-only keeps the vehicle image dependency-free.
 """
 
 from __future__ import annotations
@@ -70,6 +80,13 @@ class Handler(BaseHTTPRequestHandler):
             return self._stream(parts[1], parts[2])
         if parts[0] == "modules":
             return self._json(ModuleReader.get_active_modules())
+        if parts[0] == "shm" and len(parts) == 2:
+            from ..core import shm
+
+            try:
+                return self._json(vars(shm.group(parts[1]).get()))
+            except KeyError:
+                return self.send_error(404)
         self.send_error(404)
 
     def do_POST(self):
@@ -80,12 +97,21 @@ class Handler(BaseHTTPRequestHandler):
             name = q.get("name", [""])[0]
             value = q.get("value", [""])[0]
             reader = _reader_for(parts[1])
-            tuner = reader._all_tuners[name][2]
-            cast = type(tuner.value)
-            reader.update_tuner_value(
-                name, cast(float(value)) if cast is not bool else value == "true"
-            )
+            reader.update_tuner_value(name, reader.tuner_cast(name, value))
             return self._json({"ok": True})
+        if parts and parts[0] == "toggle" and len(parts) == 3:
+            # flip the module toggler's shm flag: a running toggler daemon
+            # starts/stops the subprocess (record = in-browser record button)
+            from ..core import shm
+            from ..core.module_toggler import ModuleToggler
+
+            q = parse_qs(url.query)
+            on = q.get("on", ["true"])[0].lower() in ("1", "true", "on")
+            flag = ModuleToggler._flag_name(parts[1], parts[2])
+            if flag not in shm.vision_modules.field_names():
+                return self.send_error(404)
+            shm.vision_modules.set_field(flag, on)
+            return self._json({"ok": True, "flag": flag, "on": on})
         self.send_error(404)
 
     def _json(self, payload):
@@ -100,11 +126,8 @@ class Handler(BaseHTTPRequestHandler):
         rows = []
         for module in sorted(ModuleReader.get_active_modules()):
             reader = _reader_for(module)
-            posts = sorted(reader._all_posts)
-            tuners = {
-                name: reader._all_tuners[name][2].value
-                for name in sorted(reader._all_tuners)
-            }
+            posts = sorted(reader.known_posts)
+            tuners = dict(sorted(reader.tuner_values().items()))
             streams = "".join(
                 f'<figure><img src="/stream/{module}/{p}" width=480>'
                 f"<figcaption>{p}</figcaption></figure>"
@@ -120,9 +143,64 @@ class Handler(BaseHTTPRequestHandler):
                 f"<h2>{module}</h2><div style='display:flex;flex-wrap:wrap'>"
                 f"{streams}</div><h3>tuners</h3>{sliders}"
             )
+
+        # module toggles (the toggler daemon acts on these flags): record
+        # start/stop from the browser is the record-button story
+        toggles = []
+        try:
+            from ..core import shm
+
+            flags = shm.vision_modules
+            for flag in sorted(flags.field_names()):
+                mod_src = flag.rsplit("_on_", 1)
+                if len(mod_src) != 2:
+                    continue
+                m, s = mod_src
+                on = bool(flags.get_field(flag))
+                toggles.append(
+                    f'<label><input type="checkbox" {"checked" if on else ""} '
+                    f"onchange=\"fetch('/toggle/{m}/{s}?on='+this.checked,"
+                    f"{{method:'POST'}})\"> {m} on {s}</label><br>"
+                )
+        except Exception:
+            pass
+        toggle_html = (
+            "<h2>modules (toggler)</h2>" + "".join(toggles) if toggles else ""
+        )
+
+        # live result groups readout (poll /shm/<group> every 500 ms)
+        groups = []
+        try:
+            import os as _os
+
+            from ..core import shm as _shm
+
+            stub = _os.path.basename(_shm.SHM_STUB)
+            for f in sorted(_os.listdir(_os.path.dirname(_shm.SHM_STUB))):
+                if f.startswith(stub) and "results" in f:
+                    groups.append(f[len(stub):])
+        except OSError:
+            pass
+        results_html = "".join(
+            f'<h3>{g}</h3><pre id="shm_{g}">...</pre>' for g in groups
+        )
+        poll_js = (
+            "<script>setInterval(function(){"
+            + "".join(
+                f"fetch('/shm/{g}').then(r=>r.json()).then(d=>"
+                f"document.getElementById('shm_{g}').textContent="
+                "JSON.stringify(d,null,1));"
+                for g in groups
+            )
+            + "},500);</script>"
+        )
         body = (
             "<html><head><title>vision</title></head><body>"
-            "<h1>tpu-vision-pipeline</h1>" + "".join(rows) + "</body></html>"
+            "<h1>tpu-vision-pipeline</h1>"
+            + "".join(rows)
+            + toggle_html
+            + ("<h2>results</h2>" + results_html + poll_js if groups else "")
+            + "</body></html>"
         ).encode()
         self.send_response(200)
         self.send_header("Content-Type", "text/html")

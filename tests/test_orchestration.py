@@ -297,3 +297,47 @@ def test_toggler_two_module_fanout_pinned_to_mesh_devices(
             t.join(timeout=10)
 
     assert not toggler.running
+
+
+def test_web_viewer_endpoints_smoke():
+    """Viewer routes: index renders (toggler checkboxes + results poll),
+    unknown shm group 404s, unknown toggle 404s, known toggle flips."""
+    import http.client
+    import threading
+
+    from http.server import ThreadingHTTPServer
+
+    from cuauv_vision_pipeline_tpu.misc.web_viewer import Handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        r = conn.getresponse()
+        body = r.read().decode()
+        assert r.status == 200 and "tpu-vision-pipeline" in body
+
+        conn.request("GET", "/shm/definitely_not_a_group")
+        assert conn.getresponse().status == 404
+
+        conn.request("POST", "/toggle/nope/nocam?on=true")
+        assert conn.getresponse().status == 404
+
+        # a real vehicle-config flag flips through the endpoint
+        flag = ModuleToggler._flag_name("red_buoy", "zed")
+        ModuleToggler()  # ensures the flags group exists
+        before = bool(shm.vision_modules.get_field(flag))
+        conn.request("POST", "/toggle/red_buoy/zed?on=%s" % str(not before).lower())
+        assert conn.getresponse().status == 200
+        assert bool(shm.vision_modules.get_field(flag)) == (not before)
+        shm.vision_modules.set_field(flag, before)
+
+        conn.request("GET", "/shm/red_buoy_results")
+        r = conn.getresponse()
+        assert r.status == 200 and b"area" in r.read()
+    finally:
+        server.shutdown()
+        t.join(timeout=10)
