@@ -360,3 +360,49 @@ def test_device_fn_batch_drains_queued_frames(unique_direction):
     acqs = [a for _, a in seen[:4]]
     assert means == [10, 20, 30, 40], means  # oldest-first, none dropped
     assert acqs == [1000, 2000, 2001, 2002], acqs  # per-lane camera stamps
+
+
+def test_wildcard_alias_binds_first_plane_of_multiplane_source(unique_direction):
+    """@device_fn("*") on a multi-plane (zed-layout) source binds to the
+    FIRST plane ("forward") regardless of the command-line source name."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import Synthetic
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+
+    class FirstPlane(ModuleBase):
+        @device_fn("*")
+        def chain(self, image, *, tuners, want_posts):
+            return {"shape0": jnp.int32(image.shape[0]),
+                    "mean": jnp.mean(image.astype(jnp.float32))}, {}
+
+        def on_device_result(self, result, posts, meta):
+            seen.append((meta.aliases, int(result["shape0"])))
+
+    source = Synthetic(unique_direction, width=96, height=54, fps=30, scene="zed")
+    t = threading.Thread(target=source.run_event_loop)
+    t.start()
+    time.sleep(0.4)
+
+    module = FirstPlane([unique_direction], [], fps=60, argv=[])
+    quit_flag = threading.Event()
+    try:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            deadline = time.monotonic() + 45
+            while time.monotonic() < deadline and not seen:
+                time.sleep(0.05)
+            quit_flag.set()
+            loop.join(timeout=15)
+    finally:
+        source.quit_flag.set()
+        t.join(timeout=10)
+
+    assert seen, "device chain never fired through the plane-bound wildcard"
+    aliases, h = seen[0]
+    assert aliases == ("forward",), aliases  # bound to the first zed plane
+    assert h == 54
