@@ -163,3 +163,39 @@ def test_pack_unpack_native_width_images():
     np.testing.assert_array_equal(out["sh"], shorts)
     np.testing.assert_array_equal(out["hf"], halves)
     np.testing.assert_array_equal(out["bl"], bools)
+
+
+def test_pack_unpack_f64_and_empty_leaves():
+    import jax
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.engine.executor import (
+        pack_result,
+        unpack_result,
+    )
+
+    spec_cell = {}
+
+    def fn(x):
+        return pack_result(
+            {
+                "wide": jnp.asarray([1.5e300, -2.25e-100], jnp.float64)
+                if jax.config.jax_enable_x64
+                else jnp.asarray([1.5, -2.25], jnp.float32),
+                "empty_u8": jnp.zeros((0,), jnp.uint8),
+                "empty_f32": jnp.zeros((0, 4), jnp.float32),
+                "scalar_bool": jnp.bool_(False),
+                "x": x,
+            },
+            spec_cell,
+        )
+
+    packed = np.asarray(jax.jit(fn)(np.float32(3.0)))
+    out = unpack_result(packed, spec_cell["spec"])
+    assert out["empty_u8"].shape == (0,)
+    assert out["empty_f32"].shape == (0, 4)
+    assert bool(out["scalar_bool"]) is False
+    assert float(out["x"]) == 3.0
+    np.testing.assert_array_equal(
+        out["wide"], [1.5, -2.25]
+    )
