@@ -163,6 +163,7 @@ def device_fn(
     depth: int = 1,
     async_fetch: bool = False,
     batch: int = 1,
+    latest_only_backlog: Optional[int] = None,
 ):
     """Decorator marking a method as the module's jitted device chain.
 
@@ -196,9 +197,18 @@ def device_fn(
     per tick (pad lanes repeat it; pure per-frame chains make them
     harmless), so latency stays batch-1; when it falls behind — e.g. every
     fetch pays a high-latency link RTT — each round trip carries K frames
-    instead of dropping K-1. ``on_device_result`` fires once per FRESH
-    frame, oldest first, each with its own acquisition-time latency.
+    instead of dropping K-1. Only the FRESH lanes are transferred and
+    computed (each distinct count is one cached trace; no padding to the
+    full batch). ``on_device_result`` fires once per FRESH frame, oldest
+    first, each with its own acquisition-time latency; debug posts are
+    delivered for the NEWEST lane only (``meta.newest``).
     Requires a single-source spec and a bus with slot_count > batch.
+
+    ``latest_only_backlog=M`` restores the reference's latest-wins
+    semantics (reference cmf.cpp:423) on demand: when more than M unseen
+    frames are queued, only the newest is dispatched — stale frames are
+    dropped instead of batched, bounding result latency at one dispatch
+    interval. ``None`` (default) batches the full backlog.
 
     ModuleBase runs the chain through a depth-``depth`` StreamExecutor:
     frame N's H2D copy + compute overlap the bus read of frame N+1, and the
@@ -223,6 +233,7 @@ def device_fn(
         fn._device_fn_depth = depth
         fn._device_fn_async = async_fetch
         fn._device_fn_batch = batch
+        fn._device_fn_latest_only = latest_only_backlog
         return fn
 
     return _decorator
@@ -240,6 +251,10 @@ class DeviceResultMeta:
     # batched chains: acquisition time of each FRESH lane (oldest first);
     # None for unbatched chains
     lane_acqs: Optional[List[int]] = None
+    # False only for the non-final lanes of a batched delivery: the result
+    # is a (drained) stale frame; posts are withheld and consumers that
+    # only care about the freshest state may skip work
+    newest: bool = True
 
     def latency_ms(self) -> int:
         """Camera-to-result latency of this bundle, in ms."""
@@ -351,9 +366,17 @@ class ModuleManager:
             max_frames = (batch or {}).get(name, 1)
             if max_frames > 1:
                 status, frames, acqs = accessor.read_frame_batch(max_frames)
-                data = frames[-1] if frames else None
-                acquisition_time = acqs[-1] if acqs else 0
-                batch_data, batch_acqs = frames, acqs
+                if frames:
+                    data = frames[-1]
+                    acquisition_time = acqs[-1]
+                    batch_data, batch_acqs = frames, acqs
+                else:
+                    # NO_NEW_FRAME: surface the cached last frame exactly
+                    # like read_frame does, so _loop's 3-strike dead-source
+                    # detector still fires for batch-reading modules
+                    data = accessor.last_frame_data
+                    acquisition_time = accessor.last_acquisition_time
+                    batch_data, batch_acqs = None, None
             else:
                 status, data, acquisition_time = accessor.read_frame()
                 batch_data, batch_acqs = None, None
@@ -487,8 +510,11 @@ class ModuleReader:
 
     def tuner_values(self) -> Dict[str, Any]:
         """Current value of every known tuner (GUI surface)."""
+        # snapshot: the poll thread's _rediscover may grow the dict while
+        # an HTTP thread iterates here
         return {
-            name: entry[2].value for name, entry in self._all_tuners.items()
+            name: entry[2].value
+            for name, entry in list(self._all_tuners.items())
         }
 
     def tuner_cast(self, name: str, raw: str) -> Any:
@@ -998,9 +1024,11 @@ class ModuleBase(ABC):
 
     def _discover_device_fn(
         self, logger: Logger
-    ) -> Optional[Tuple[Callable, Tuple[str, ...], int, bool, int]]:
+    ) -> Optional[Tuple[Callable, Tuple[str, ...], int, bool, int, Optional[int]]]:
         """Find the module's @device_fn method (at most one)."""
-        found: Optional[Tuple[Callable, Tuple[str, ...], int, bool, int]] = None
+        found: Optional[
+            Tuple[Callable, Tuple[str, ...], int, bool, int, Optional[int]]
+        ] = None
         for attr_name in dir(self):
             try:
                 maybe = getattr(self, attr_name)
@@ -1018,11 +1046,12 @@ class ModuleBase(ABC):
             depth = getattr(target, "_device_fn_depth", 1)
             async_fetch = getattr(target, "_device_fn_async", False)
             batch = getattr(target, "_device_fn_batch", 1)
+            latest_only = getattr(target, "_device_fn_latest_only", None)
             if batch > 1 and len(aliases) != 1:
                 raise RuntimeError(
                     "@device_fn(batch=N) requires a single source spec"
                 )
-            found = (maybe, tuple(aliases), depth, async_fetch, batch)
+            found = (maybe, tuple(aliases), depth, async_fetch, batch, latest_only)
             logger(
                 f"Registered device chain {attr_name} with aliases "
                 f"{aliases} (pipeline depth {depth}"
@@ -1034,26 +1063,32 @@ class ModuleBase(ABC):
 
     def _dispatch_device_result(self, done: Tuple[Any, Any]) -> None:
         packed, meta = done
-        result, posts = self._dev_unpack(packed, meta.want_posts)
+        nlanes = len(meta.lane_acqs) if meta.lane_acqs is not None else 0
+        result, posts = self._dev_unpack(packed, meta.want_posts, nlanes)
         self._current_direction = meta.aliases[0]
         if meta.lane_acqs is None:
             self._current_acquisition_time = meta.acquisition_time
             with tracer.span("on_device_result"):
                 self.on_device_result(result, posts, meta)
             return
-        # batched chain: every leaf carries a leading [batch] axis; deliver
-        # one on_device_result per FRESH lane, oldest first (pad lanes are
-        # repeats of the newest frame and are dropped here)
+        # batched chain: every leaf carries a leading [nlanes] axis; deliver
+        # one on_device_result per lane, oldest first. Debug posts go to the
+        # NEWEST lane only: older lanes would overwrite the same post blocks
+        # several times per tick with frames no GUI reader will ever see.
         import dataclasses
 
         import jax
 
-        n = len(meta.lane_acqs)
-        for i in range(n):
-            lane = jax.tree_util.tree_map(lambda x: x[i], (result, posts))
-            lane_result, lane_posts = lane
+        for i in range(nlanes):
+            is_newest = i == nlanes - 1
+            lane_result = jax.tree_util.tree_map(lambda x: x[i], result)
+            lane_posts = (
+                jax.tree_util.tree_map(lambda x: x[i], posts)
+                if is_newest
+                else {}
+            )
             lane_meta = dataclasses.replace(
-                meta, acquisition_time=meta.lane_acqs[i]
+                meta, acquisition_time=meta.lane_acqs[i], newest=is_newest
             )
             self._current_acquisition_time = meta.lane_acqs[i]
             with tracer.span("on_device_result"):
@@ -1080,16 +1115,25 @@ class ModuleBase(ABC):
                 unpack_result,
             )
 
-            dev_bound, dev_aliases, dev_depth, dev_async, dev_batch = dev
+            (
+                dev_bound,
+                dev_aliases,
+                dev_depth,
+                dev_async,
+                dev_batch,
+                dev_latest_only,
+            ) = dev
             # posts ride in the SAME single packed fetch as the result (one
             # device->host round trip per frame, u8 images at native width);
-            # want_posts is a static arg, so each value gets its own trace
-            # and its own unpack spec
-            spec_cells: Dict[bool, Dict[str, Any]] = {True: {}, False: {}}
+            # want_posts is a static arg and each fresh-lane count is its
+            # own trace, so every (want_posts, nlanes) pair carries its own
+            # unpack spec (nlanes=0 for unbatched chains)
+            spec_cells: Dict[Tuple[bool, int], Dict[str, Any]] = {}
 
             if dev_batch > 1:
-                # per-frame user chain, vmapped over the leading batch axis
-                # (tuners broadcast); pad lanes repeat the newest frame
+                # per-frame user chain, vmapped over the leading lane axis
+                # (tuners broadcast); only FRESH lanes are dispatched, so
+                # the lane count varies 1..batch — one cached trace each
                 import jax as _jax
 
                 def packed_fn(batched, *, tuners, want_posts, _fn=dev_bound):
@@ -1099,7 +1143,10 @@ class ModuleBase(ABC):
                         )
 
                     result, posts = _jax.vmap(one)(batched)
-                    return pack_result((result, posts), spec_cells[want_posts])
+                    cell = spec_cells.setdefault(
+                        (want_posts, int(batched.shape[0])), {}
+                    )
+                    return pack_result((result, posts), cell)
 
             else:
 
@@ -1107,15 +1154,16 @@ class ModuleBase(ABC):
                     result, posts = _fn(
                         *frames, tuners=tuners, want_posts=want_posts
                     )
-                    return pack_result((result, posts), spec_cells[want_posts])
+                    cell = spec_cells.setdefault((want_posts, 0), {})
+                    return pack_result((result, posts), cell)
 
             dev_exec = StreamExecutor(
                 DevicePipeline(packed_fn, static_argnames=("want_posts",)),
                 depth=dev_depth,
                 async_fetch=dev_async,
             )
-            self._dev_unpack = lambda packed, want_posts: unpack_result(
-                packed, spec_cells[want_posts]["spec"]
+            self._dev_unpack = lambda packed, want_posts, nlanes=0: unpack_result(
+                packed, spec_cells[(want_posts, nlanes)]["spec"]
             )
             # staging views must outlive the in-flight transfers
             self._module_manager.set_staging_depth(dev_depth + 1)
@@ -1259,10 +1307,22 @@ class ModuleBase(ABC):
                             lane_acqs = [frame_cache[alias][1]]
                         lane_frames = lane_frames[-dev_batch:]
                         lane_acqs = lane_acqs[-dev_batch:]
-                        pad = dev_batch - len(lane_frames)
-                        stacked = np.stack(
-                            lane_frames + [lane_frames[-1]] * pad
-                        )
+                        if (
+                            dev_latest_only is not None
+                            and len(lane_frames) > dev_latest_only
+                        ):
+                            # latest-wins on demand: past the backlog
+                            # threshold, stale frames drop instead of
+                            # batching (reference cmf.cpp:423 semantics)
+                            lane_frames = lane_frames[-1:]
+                            lane_acqs = lane_acqs[-1:]
+                        # only the fresh lanes transfer & compute; in the
+                        # keep-up case this is a single [1,H,W,C] view, not
+                        # a padded batch-K copy
+                        if len(lane_frames) == 1:
+                            stacked = lane_frames[0][None]
+                        else:
+                            stacked = np.stack(lane_frames)
                         frames = (stacked,)
                         acq = lane_acqs[-1]
                     else:

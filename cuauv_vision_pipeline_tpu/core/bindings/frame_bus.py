@@ -252,6 +252,19 @@ class BlockAccessor:
         return int(_dllib.block_latest_uid(self._block_ptr))
 
     @property
+    def last_frame_data(
+        self,
+    ) -> Optional[Union[np.ndarray, Tuple[np.ndarray, ...]]]:
+        """Payload of the most recent successful read (what ``read_frame``
+        re-returns on NO_NEW_FRAME); None before the first frame."""
+        return self._frame_data
+
+    @property
+    def last_acquisition_time(self) -> int:
+        """Acquisition stamp (ms) of the most recent successful read."""
+        return self._acquisition_time
+
+    @property
     def max_entry_size(self) -> int:
         if self._block_ptr == ffi.NULL:
             return 0

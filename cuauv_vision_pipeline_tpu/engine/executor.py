@@ -215,10 +215,14 @@ class StreamExecutor:
         if self.async_fetch:
             while True:
                 try:
-                    out.append(self._check(self._done.get_nowait()))
+                    item = self._done.get_nowait()
                 except queue.Empty:
                     break
-            self._n_inflight -= len(out)
+                # decrement BEFORE _check may raise a worker-delivered
+                # exception, or the popped item would inflate pending
+                # forever and a later flush() would block on _done.get()
+                self._n_inflight -= 1
+                out.append(self._check(item))
         return out
 
     def _pop_done_blocking(self) -> Tuple[Any, Any]:

@@ -39,7 +39,12 @@ class BuoyLAB(ModuleBase):
         # fresh results on startup: stale values from a previous run must
         # not read as a live detection
         shm.red_buoy_results.set(
-            visible=False, center_x=0.0, center_y=0.0, area=0.0, latency_ms=0.0
+            visible=False,
+            center_x=0.0,
+            center_y=0.0,
+            area=0.0,
+            latency_ms=0.0,
+            latency_newest_ms=0.0,
         )
 
     # only the forward plane ships to the device (the reference module also
@@ -48,8 +53,9 @@ class BuoyLAB(ModuleBase):
     # fetch keep transfer, compute, and readback all overlapped. batch=4:
     # when the module falls behind the camera (e.g. every fetch pays a
     # high-latency link RTT) each dispatch drains up to 4 queued frames as
-    # one vmapped graph instead of dropping 3 — when it keeps up, 1 fresh
-    # lane per tick and latency is unchanged.
+    # one vmapped graph instead of dropping 3 — only the fresh lanes
+    # transfer and compute, so when it keeps up each tick is a plain
+    # batch-1 dispatch and latency is unchanged.
     @device_fn("zed[forward]", depth=2, async_fetch=True, batch=4)
     def buoy_chain(self, image, *, tuners, want_posts):
         threshed, cleaned, best = red_buoy_fused(
@@ -72,13 +78,19 @@ class BuoyLAB(ModuleBase):
             cy = cx = area = 0.0
             ny = nx = 0.0
 
-        shm.red_buoy_results.set(
+        fields = dict(
             visible=found,
             center_x=nx,
             center_y=ny,
             area=area,
             latency_ms=float(meta.latency_ms()),
         )
+        if meta.newest:
+            # freshest-lane latency: drained stale lanes deliberately count
+            # their queueing time in latency_ms; this field tracks how old
+            # the newest detection is (the latest-wins-comparable number)
+            fields["latency_newest_ms"] = fields["latency_ms"]
+        shm.red_buoy_results.set(**fields)
 
         if posts:
             self.post("threshed", posts["threshed"], "GRAY")

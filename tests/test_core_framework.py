@@ -355,6 +355,31 @@ def test_shm_reopen_after_create_uses_identical_offsets():
         shm.delete_group(name)
 
 
+def test_shm_writer_reattaches_after_schema_upgrade():
+    """A schema-grow upgrade replaces the group file with a new inode;
+    processes still holding the old mapping must re-attach (st_ino re-stat)
+    so their writes stay visible to new readers instead of landing in the
+    orphaned file forever."""
+    name = "test_reattach_group"
+    try:
+        writer = shm.Group(name, {"v": ["int", 0]})
+        writer.v.set(1)
+        # another process upgrades: declared schema grew -> unlink+recreate
+        upgraded = shm.Group(name, {"v": ["int", 0], "extra": ["int", 7]})
+        assert upgraded.extra.get() == 7
+        # the old writer's next write (after the 0.5s stat throttle) must
+        # land in the NEW file
+        writer._last_stat = 0.0  # bypass the throttle for the test
+        writer.v.set(42)
+        assert upgraded.v.get() == 42
+        # and reads see the upgraded file's state too
+        upgraded.v.set(9)
+        writer._last_stat = 0.0
+        assert writer.get().v == 9
+    finally:
+        shm.delete_group(name)
+
+
 def test_shm_cross_process_offsets():
     """Same regression, but with a genuinely separate process attaching."""
     import subprocess

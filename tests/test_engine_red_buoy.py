@@ -97,6 +97,27 @@ def test_stream_executor_async_fetch_ordered():
         assert (np.asarray(arr) == meta - 1.0).all()
 
 
+def test_stream_executor_poll_exception_keeps_count(monkeypatch):
+    """A worker-delivered chain exception raised out of poll() must still
+    decrement the in-flight count for every item popped — otherwise a later
+    flush() blocks forever on _done.get() during module shutdown
+    (round-2 advisor finding)."""
+    import pytest
+
+    pipe = DevicePipeline(lambda x: x.astype(np.float32))
+    stream = StreamExecutor(pipe, depth=2, async_fetch=True)
+    try:
+        # simulate the fetch worker delivering a failure
+        stream._done.put((RuntimeError("boom"), None))
+        stream._n_inflight += 1
+        with pytest.raises(RuntimeError, match="boom"):
+            stream.poll()
+        assert stream._n_inflight == 0
+        assert stream.flush() == []  # must not hang
+    finally:
+        stream.close()
+
+
 def test_pack_unpack_result_roundtrip():
     import jax
     import jax.numpy as jnp

@@ -362,6 +362,171 @@ def test_device_fn_batch_drains_queued_frames(unique_direction):
     assert acqs == [1000, 2000, 2001, 2002], acqs  # per-lane camera stamps
 
 
+def test_device_fn_latest_only_backlog_drops_stale(unique_direction):
+    """@device_fn(batch=K, latest_only_backlog=M): when more than M unseen
+    frames are queued, only the newest dispatches (reference latest-wins,
+    cmf.cpp:423) instead of batching the backlog."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+
+    class LatestOnly(ModuleBase):
+        @device_fn(unique_direction, batch=4, latest_only_backlog=1)
+        def chain(self, image, *, tuners, want_posts):
+            return {"mean": jnp.mean(image.astype(jnp.float32))}, {}
+
+        def on_device_result(self, result, posts, meta):
+            seen.append((round(float(result["mean"])), meta.acquisition_time))
+
+    writer = BlockAccessor(
+        unique_direction, max_entry_size_bytes=32 * 32 * 3, slot_count=8
+    )
+    # fps=2: a 500 ms tick window guarantees the 3-frame burst (written
+    # right after a result, i.e. right after a read) drains in ONE batch read
+    module = LatestOnly([unique_direction], [], fps=2, argv=[])
+    quit_flag = threading.Event()
+    with writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                frame = lambda v: np.full((32, 32, 3), v, np.uint8)
+                writer.write_frame(1000, frame(10))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and not seen:
+                    time.sleep(0.02)
+                assert seen, "first frame never processed"
+                # burst of 3: backlog (3) > threshold (1) -> only the
+                # newest frame may be processed; 20 and 30 must be dropped
+                writer.write_frame(2000, frame(20))
+                writer.write_frame(2001, frame(30))
+                writer.write_frame(2002, frame(40))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and len(seen) < 2:
+                    time.sleep(0.02)
+            finally:
+                quit_flag.set()
+                loop.join(timeout=20)
+
+    assert seen[0] == (10, 1000), seen
+    assert (40, 2002) in seen[1:], seen
+    dropped = {20, 30} & {m for m, _ in seen}
+    assert not dropped, f"stale frames {dropped} should have been dropped: {seen}"
+
+
+def test_device_fn_batch_posts_newest_lane_only(unique_direction):
+    """Batched deliveries carry debug posts for the NEWEST lane only: stale
+    drained lanes would overwrite the same post blocks with frames no GUI
+    ever shows. meta.newest marks the lane carrying the posts."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+
+    class Poster(ModuleBase):
+        @device_fn(unique_direction, batch=4)
+        def chain(self, image, *, tuners, want_posts):
+            posts = {"dbg": image} if want_posts else {}
+            return {"mean": jnp.mean(image.astype(jnp.float32))}, posts
+
+        def on_device_result(self, result, posts, meta):
+            seen.append(
+                (round(float(result["mean"])), meta.newest, sorted(posts))
+            )
+
+    writer = BlockAccessor(
+        unique_direction, max_entry_size_bytes=32 * 32 * 3, slot_count=8
+    )
+    # fps=2: see test_device_fn_latest_only_backlog_drops_stale
+    module = Poster([unique_direction], [], fps=2, argv=[])
+    quit_flag = threading.Event()
+    with writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                frame = lambda v: np.full((32, 32, 3), v, np.uint8)
+                writer.write_frame(1000, frame(10))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and not seen:
+                    time.sleep(0.02)
+                assert seen, "first frame never processed"
+                writer.write_frame(2000, frame(20))
+                writer.write_frame(2001, frame(30))
+                writer.write_frame(2002, frame(40))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and len(seen) < 4:
+                    time.sleep(0.02)
+            finally:
+                quit_flag.set()
+                loop.join(timeout=20)
+
+    by_mean = {m: (newest, posts) for m, newest, posts in seen}
+    # stale lanes: delivered, marked stale, no posts
+    for stale in (20, 30):
+        assert by_mean[stale] == (False, []), seen
+    # newest lane of the burst: marked newest, carries the posts
+    assert by_mean[40] == (True, ["dbg"]), seen
+
+
+def test_device_fn_batch_dead_source_detection(unique_direction):
+    """A batch-reading module must still notice a dead camera: when the
+    batch read returns no new frames the 3-strike detector runs exactly as
+    on the unbatched path (round-2 advisor finding)."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+
+    class Batcher(ModuleBase):
+        @device_fn(unique_direction, batch=4)
+        def chain(self, image, *, tuners, want_posts):
+            return {"mean": jnp.mean(image.astype(jnp.float32))}, {}
+
+        def on_device_result(self, result, posts, meta):
+            seen.append(float(result["mean"]))
+
+    writer = BlockAccessor(
+        unique_direction, max_entry_size_bytes=16 * 16 * 3, slot_count=8
+    )
+    module = Batcher([unique_direction], [], fps=200, argv=[])
+    quit_flag = threading.Event()
+    with writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                writer.write_frame(
+                    1000, np.full((16, 16, 3), 10, np.uint8)
+                )
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and not seen:
+                    time.sleep(0.02)
+                assert seen, "first frame never processed"
+                # now the source goes silent; within a few ticks the
+                # dead-source counter must saturate
+                meta = module._video_metadata[unique_direction]
+                deadline = time.monotonic() + 10
+                while time.monotonic() < deadline and meta._dead_counter < 3:
+                    time.sleep(0.02)
+                assert meta._dead_counter == 3, (
+                    "batched read path never marked the silent source dead"
+                )
+            finally:
+                quit_flag.set()
+                loop.join(timeout=20)
+
+
 def test_wildcard_alias_binds_first_plane_of_multiplane_source(unique_direction):
     """@device_fn("*") on a multi-plane (zed-layout) source binds to the
     FIRST plane ("forward") regardless of the command-line source name."""
