@@ -603,6 +603,15 @@ class ModuleReader:
         if self._thread is not None:
             raise RuntimeError("cannot run already running module reader")
         self._quit_flag = threading.Event()
+        # enter the construction-time accessors HERE, not in the loop
+        # thread: callers may update_tuner_value immediately after this
+        # returns, and racing the thread's startup would raise
+        # "not in a context manager"
+        self._exit_stack = contextlib.ExitStack()
+        for _, accessor, _ in self._all_posts.values():
+            self._exit_stack.enter_context(accessor)
+        for _, accessor, _ in self._all_tuners.values():
+            self._exit_stack.enter_context(accessor)
         self._thread = threading.Thread(target=self._loop, args=(fps,))
         self._thread.start()
 
@@ -616,12 +625,10 @@ class ModuleReader:
         accessor.write_frame(int(time.monotonic() * 1000), data)
 
     def _loop(self, fps: int) -> None:
-        with contextlib.ExitStack() as exit_stack:
-            for _, accessor, _ in self._all_posts.values():
-                exit_stack.enter_context(accessor)
-            for _, accessor, _ in self._all_tuners.values():
-                exit_stack.enter_context(accessor)
-
+        # construction-time accessors were entered in run_forever (so
+        # update_tuner_value works the moment it returns); this stack also
+        # adopts blocks found by _rediscover and closes everything on exit
+        with self._exit_stack as exit_stack:
             wait_time = 1.0 / fps
             last_scan = time.monotonic()
             while not self._quit_flag.is_set():
@@ -1361,8 +1368,16 @@ class ModuleBase(ABC):
             time.sleep(max((1 / self._fps) - (time.monotonic() - tick_start), 0))
 
         if dev_exec is not None:
-            for done in dev_exec.flush():
+            # bounded drain: a wedged device/link (e.g. a tunnel request
+            # interrupted by the shutdown signal) must not hang exit
+            for done in dev_exec.flush(timeout_s=15.0):
                 self._dispatch_device_result(done)
+            if dev_exec.pending:
+                logger(
+                    f"abandoning {dev_exec.pending} in-flight device "
+                    "result(s) at shutdown (device/link not delivering)",
+                    True,
+                )
             dev_exec.close()
             self._drain_post_queue()
 

@@ -225,10 +225,12 @@ class StreamExecutor:
                 out.append(self._check(item))
         return out
 
-    def _pop_done_blocking(self) -> Tuple[Any, Any]:
-        item = self._check(self._done.get())
+    def _pop_done_blocking(
+        self, timeout_s: Optional[float] = None
+    ) -> Tuple[Any, Any]:
+        item = self._done.get(timeout=timeout_s)  # raises queue.Empty
         self._n_inflight -= 1
-        return item
+        return self._check(item)
 
     @staticmethod
     def _check(item: Tuple[Any, Any]) -> Tuple[Any, Any]:
@@ -242,19 +244,39 @@ class StreamExecutor:
         result, meta = self._queue.popleft()
         return _materialize(result), meta
 
-    def flush_one(self) -> Optional[Tuple[Any, Any]]:
-        """Materialize the oldest in-flight result (blocking), or None."""
+    def flush_one(
+        self, timeout_s: Optional[float] = None
+    ) -> Optional[Tuple[Any, Any]]:
+        """Materialize the oldest in-flight result (blocking), or None.
+
+        ``timeout_s`` (async mode only) bounds the wait; on timeout the
+        result stays in flight and None is returned."""
         if self.async_fetch:
             if self._n_inflight == 0:
                 return None
-            return self._pop_done_blocking()
+            try:
+                return self._pop_done_blocking(timeout_s)
+            except queue.Empty:
+                return None
         return self._pop_one()
 
-    def flush(self) -> List[Tuple[Any, Any]]:
-        """Materialize every in-flight result, oldest first."""
+    def flush(self, timeout_s: Optional[float] = None) -> List[Tuple[Any, Any]]:
+        """Materialize every in-flight result, oldest first.
+
+        ``timeout_s`` bounds the TOTAL drain (async mode): a device/link
+        that never delivers must not be able to hang shutdown — remaining
+        results stay in ``pending`` for the caller to abandon."""
         out: List[Tuple[Any, Any]] = []
+        deadline = (
+            None if timeout_s is None else time.monotonic() + timeout_s
+        )
         while self.pending:
-            item = self.flush_one()
+            left = None
+            if deadline is not None:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+            item = self.flush_one(timeout_s=left)
             if item is None:
                 break
             out.append(item)

@@ -118,6 +118,34 @@ def test_stream_executor_poll_exception_keeps_count(monkeypatch):
         stream.close()
 
 
+def test_stream_executor_flush_timeout_abandons_wedged_result(monkeypatch):
+    """flush(timeout_s) must return instead of hanging shutdown when the
+    fetch worker never delivers (wedged device/link): the result stays in
+    pending for the caller to abandon."""
+    import threading as _threading
+    import time
+
+    from cuauv_vision_pipeline_tpu.engine import executor as ex
+
+    release = _threading.Event()
+    monkeypatch.setattr(
+        ex, "_materialize", lambda fut: (release.wait(30), fut)[1]
+    )
+    pipe = DevicePipeline(lambda x: x.astype(np.float32))
+    stream = StreamExecutor(pipe, depth=2, async_fetch=True)
+    try:
+        stream.submit((np.zeros((2, 2), np.uint8),), meta=0)
+        t0 = time.monotonic()
+        out = stream.flush(timeout_s=0.5)
+        elapsed = time.monotonic() - t0
+        assert out == []
+        assert stream.pending == 1  # abandoned, not lost track of
+        assert elapsed < 5
+    finally:
+        release.set()
+        stream.close()
+
+
 def test_pack_unpack_result_roundtrip():
     import jax
     import jax.numpy as jnp
