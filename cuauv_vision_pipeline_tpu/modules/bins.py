@@ -1,18 +1,26 @@
 #!/usr/bin/env python3
-"""Bin detector: beige HSV mask -> morphology -> minAreaRect filtering.
+"""Bin detector: beige HSV mask -> morphology -> minAreaRect + SIFT pose.
 
 Parity target: reference modules/bins.py:10-81 — HSV inRange for the beige
 background, overlay visualization, open-morphology denoise, outer contours,
 minAreaRect candidates filtered by area > 500 and aspect ratio in [1, 3],
-all drawn on the overlay.
+all drawn on the overlay. BASELINE config 3 adds "pose estimation with
+utils/feature + sift" (reference utils/sift.py:14-142): set
+``CUAUV_BINS_POSE_TEMPLATE`` to an image path (or ``builtin`` for the
+synthetic bin texture) and each frame is SIFT-matched against the template
+— descriptor matching and RANSAC consensus on the MXU — with the projected
+quad written to ``shm.bins_pose``.
 
 TPU re-design: HSV mask + open morphology + the 0.7/0.3 overlay blend run
 as ONE device graph on the module's @device_fn fast path (pipelined, one
 packed fetch per frame); contour tracing + rotated rectangles stay on host
-where they feed drawing only.
+where they feed drawing only. With pose enabled the grayscale frame rides
+the same packed fetch for the host-side keypoint detector.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -38,12 +46,38 @@ def box_points(rect) -> np.ndarray:
     return np.array(pts, np.float32)
 
 
+def _load_template(spec: str) -> np.ndarray:
+    if spec == "builtin":
+        from ..capture_sources.synthetic import bin_texture
+
+        return np.asarray(bin_texture())
+    from PIL import Image
+
+    return np.asarray(Image.open(spec).convert("RGB"))[..., ::-1]  # BGR
+
+
 class BinDetector(ModuleBase):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._pose_sift = None
+        template_spec = os.environ.get("CUAUV_BINS_POSE_TEMPLATE", "")
+        if template_spec:
+            from ..ops.color_np import bgr_to_gray_np
+            from ..utils.sift import SIFT
+
+            template = _load_template(template_spec)
+            self._pose_sift = SIFT()
+            self._pose_sift.add_source("bin", bgr_to_gray_np(template))
+            from ..core import shm
+
+            shm.bins_pose.set(visible=False, matches=0, inliers=0, seq_frames=0)
+
     @device_fn("*", depth=1, async_fetch=True)
     def bins_chain(self, img, *, tuners, want_posts):
         """HSV inRange + open morphology + the reference's 0.7/0.3 overlay
-        blend as one device graph; one packed fetch carries both the
-        cleaned mask (for host contours) and the overlay image."""
+        blend as one device graph; one packed fetch carries the cleaned
+        mask (for host contours), the overlay image, and — when SIFT pose
+        is on — the grayscale frame for the keypoint detector."""
         import jax.numpy as jnp
 
         from ..ops import color as C
@@ -54,6 +88,8 @@ class BinDetector(ModuleBase):
         mask = T.in_range(hsv, LOWER_BEIGE, UPPER_BEIGE)
         cleaned = M.open_morph(mask, M.rect_kernel(5))
         result = {"cleaned": cleaned}
+        if self._pose_sift is not None:  # trace-time constant
+            result["gray"] = C.bgr_to_gray(img)
         posts = {}
         if want_posts:
             # overlay = 0.7*img + 0.3*mask_bgr (the reference's viz)
@@ -76,6 +112,10 @@ class BinDetector(ModuleBase):
             if 1.0 <= aspect <= 3.0:
                 valid_rects.append(rect)
 
+        pose_quad = None
+        if self._pose_sift is not None and "gray" in result:
+            pose_quad = self._estimate_pose(result["gray"], meta)
+
         overlayed = posts.get("overlay")
         if overlayed is not None:
             if not overlayed.flags.writeable:  # packed-fetch views are RO
@@ -83,7 +123,41 @@ class BinDetector(ModuleBase):
             for rect in valid_rects:
                 pts = box_points(rect).astype(np.int32)
                 draw_polylines(overlayed, [pts], True, Color.GREEN, 4)
+            if pose_quad is not None:
+                draw_polylines(
+                    overlayed, [pose_quad.astype(np.int32)], True, Color.RED, 3
+                )
             self.post("bins", overlayed)
+
+    def _estimate_pose(self, gray, meta):
+        """SIFT template match -> homography quad -> shm.bins_pose."""
+        from ..core import shm
+
+        grp = shm.bins_pose
+        matches = self._pose_sift.match(np.asarray(gray), min_match=8)
+        grp.set_field("seq_frames", grp.seq_frames.get() + 1)
+        if not matches:
+            grp.set_field("visible", False)
+            return None
+        m = matches[0]
+        quad = np.asarray(m["quad"], np.float64)
+        grp.set(
+            visible=True,
+            matches=m["matches"],
+            inliers=m["inliers"],
+            quad_x1=quad[0, 0],
+            quad_y1=quad[0, 1],
+            quad_x2=quad[1, 0],
+            quad_y2=quad[1, 1],
+            quad_x3=quad[2, 0],
+            quad_y3=quad[2, 1],
+            quad_x4=quad[3, 0],
+            quad_y4=quad[3, 1],
+            center_x=float(quad[:, 0].mean()),
+            center_y=float(quad[:, 1].mean()),
+            latency_ms=float(meta.latency_ms()),
+        )
+        return quad
 
 
 if __name__ == "__main__":

@@ -362,6 +362,79 @@ def test_device_fn_batch_drains_queued_frames(unique_direction):
     assert acqs == [1000, 2000, 2001, 2002], acqs  # per-lane camera stamps
 
 
+def test_gate_localize_runs_full_handler(monkeypatch):
+    """CUAUV_GATE_LOCALIZE=1: the gate module drives the FULL GateOBB
+    localization per frame (BASELINE config 2's 'gate module +
+    handlers/gate.py localization'); shm.yolo_gate gets ordered corners."""
+    import numpy as np
+
+    monkeypatch.setenv("CUAUV_GATE_LOCALIZE", "1")
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.core.base import VideoSourceMetadata
+    from cuauv_vision_pipeline_tpu.modules.gate import GateDetector
+
+    shm.yolo_gate.set(shark_visible=0, saw_visible=0)
+    m = GateDetector(argv=[])
+    img = np.zeros((720, 1280, 3), np.uint8)
+    m._video_metadata["forward"] = VideoSourceMetadata()
+    m._video_metadata["forward"].update(img, 0)
+    m._current_direction = "forward"
+    m.process("forward", img)
+
+    g = shm.yolo_gate.get()
+    assert g.shark_visible and g.saw_visible
+    # normalized coordinates stay in frame
+    assert abs(g.shark_center_x) < 0.6 and abs(g.shark_center_y) < 0.6
+    assert g.shark_area > 0
+    assert "gate handler" in m._post_queue
+
+
+def test_bins_sift_pose_estimation(monkeypatch):
+    """CUAUV_BINS_POSE_TEMPLATE=builtin: the bins chain carries a gray
+    plane and the SIFT pose path recovers the pasted bin plate's quad
+    (BASELINE config 3's 'pose estimation with utils/feature + sift')."""
+    import math
+
+    import jax
+    import numpy as np
+
+    monkeypatch.setenv("CUAUV_BINS_POSE_TEMPLATE", "builtin")
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import (
+        bin_texture,
+        bins_frame,
+    )
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.core.base import (
+        DeviceResultMeta,
+        VideoSourceMetadata,
+    )
+    from cuauv_vision_pipeline_tpu.modules.bins import BinDetector
+
+    m = BinDetector(video_sources=["forward"], tuners=[], argv=[])
+    frame = bins_frame((720, 1280), 1.0)
+    res, posts = m.bins_chain(jax.device_put(frame), tuners={}, want_posts=True)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    posts = {k: np.asarray(v) for k, v in posts.items()}
+    assert "gray" in res  # rides the packed fetch for the host detector
+
+    m._video_metadata["forward"] = VideoSourceMetadata()
+    m._video_metadata["forward"].update(frame, 0)
+    m._current_direction = "forward"
+    meta = DeviceResultMeta(
+        aliases=("forward",), acquisition_time=0, submit_time=0.0
+    )
+    m.on_device_result(res, posts, meta)
+
+    g = shm.bins_pose.get()
+    assert g.visible and g.inliers >= 8
+    h, w = 720, 1280
+    th, tw = bin_texture().shape[:2]
+    y0 = int((h - th) * (0.5 + 0.35 * math.sin(0.5)))
+    x0 = int((w - tw) * (0.5 + 0.35 * math.cos(0.7)))
+    assert abs(g.quad_x1 - x0) < 12 and abs(g.quad_y1 - y0) < 12
+    assert abs(g.quad_x3 - (x0 + tw)) < 12 and abs(g.quad_y3 - (y0 + th)) < 12
+
+
 def test_device_fn_latest_only_backlog_drops_stale(unique_direction):
     """@device_fn(batch=K, latest_only_backlog=M): when more than M unseen
     frames are queued, only the newest dispatches (reference latest-wins,
