@@ -57,9 +57,11 @@ def _load_template(spec: str) -> np.ndarray:
 
 
 class BinDetector(ModuleBase):
+    # class default so chain-only instances (bench, tests) skip pose
+    _pose_sift = None
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._pose_sift = None
         template_spec = os.environ.get("CUAUV_BINS_POSE_TEMPLATE", "")
         if template_spec:
             from ..ops.color_np import bgr_to_gray_np
