@@ -1,28 +1,43 @@
 #!/usr/bin/env python3
-"""End-to-end benchmarks: all five BASELINE acceptance configs through the
-REAL topology (capture process -> /dev/shm frame bus -> module process ->
-shm results / post blocks), plus the on-chip device-chain headline and an
-honest H2D transfer benchmark.
+"""End-to-end benchmarks: the on-chip device-chain headline FIRST, then the
+micro-benches that ground the PCIe-class latency derivations, then all five
+BASELINE acceptance configs through the REAL topology (capture process ->
+/dev/shm frame bus -> module process -> shm results / post blocks).
 
-Emits one JSON metric line per config to stdout; the LAST line is the
-headline {"metric", "value", "unit", "vs_baseline"} (red_buoy 1080p device
-chain vs the 2,000 fps/chip target, BASELINE.md). All lines are also
-written to BENCH_RESULTS.json.
+Emits one JSON metric line per config to stdout; the headline
+{"metric", "value", "unit", "vs_baseline"} (red_buoy 1080p device chain vs
+the 2,000 fps/chip target, BASELINE.md) is emitted first AND re-printed as
+the final line. All lines are also written to BENCH_RESULTS.json.
+
+Ordering rationale (round-2 verdict): the driver's capture of round 2 was
+rc=124 because the headline ran last and the timeout killed it. Now the
+headline runs before anything that can burn the window, every config has a
+hard wall-clock cap (SIGALRM), and the whole sweep fits
+BENCH_TIME_BUDGET_S by construction.
 
 Harness context: the chip here is tunnel-attached (H2D of a 6 MB frame and
-every blocking readback pay a ~100 ms RTT), so end-to-end topology numbers
-measure the tunnel, not the chain — they are reported as measured, next to
-the transfer benchmark that grounds what a PCIe-class host link would do.
+every blocking readback pay a ~100-300 ms RTT), so end-to-end topology
+numbers measure the tunnel, not the chain. Each device config therefore
+also gets a COMPUTED `derived_pcie_p50_ms` line assembled from this run's
+own measured terms (bus p50, device step, host leg) plus a documented
+PCIe-class link model for the two legs the tunnel hides (H2D, fetch).
+
+Device-timing discipline: every timed device loop (headline, stereo,
+per-chain steps) runs BEFORE any device->host readback in this process —
+the first readback permanently de-pipelines the tunnel client and would
+turn 0.04 ms dispatches into 1 ms (BENCH_NOTES.md). block_until_ready is
+safe; np.asarray is not.
 
 Env knobs: BENCH_MEASURE_S (per-config window, default 12),
-BENCH_CONFIGS (comma list, default "1,2,3,4,5,t,h"), BENCH_WARM_S
-(first-result deadline, default 900 — first compile of a module chain
-through the remote helper can take minutes; the shared cache in
-.jax_cache makes reruns fast).
+BENCH_CONFIGS (comma list, default "h,s,d,t,b,y,p,1,5,2,3,4"),
+BENCH_WARM_S (first-result deadline inside a config, default 1500),
+BENCH_TIME_BUDGET_S (whole-run budget, default 3000),
+BENCH_CONFIG_CAP_S (hard per-config wall-clock cap, default 540).
 """
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import json
 import os
@@ -37,9 +52,22 @@ import numpy as np
 MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "12"))
 WARM_S = float(os.environ.get("BENCH_WARM_S", "1500"))
 SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
-CONFIGS = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,s,t,b,y,h").split(",")
+BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
+CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "540"))
+CONFIGS = os.environ.get(
+    "BENCH_CONFIGS", "h,s,d,t,b,y,p,1,5,2,3,4"
+).split(",")
+
+# PCIe-class link model for the derived budgets: effective pinned-host
+# bandwidth + fixed per-transfer overhead (dispatch + completion). 8 GB/s
+# is conservative for gen3 x16 (~12 GB/s effective); production v5e hosts
+# are gen4. Both constants are echoed into every derived line.
+PCIE_GBPS = 8.0
+PCIE_OH_MS = 0.2
 
 RESULTS: list = []
+TERMS: dict = {}  # measured micro-terms feeding the derived budgets
+_HEADLINE_LINE: dict = {}
 
 
 def log(msg: str) -> None:
@@ -76,14 +104,18 @@ def _preexec() -> None:
     ctypes.CDLL(None, use_errno=True).prctl(1, signal.SIGKILL, 0, 0, 0)
 
 
-def spawn(argv: list, tag: str) -> subprocess.Popen:
+def spawn(argv: list, tag: str, env: dict = None) -> subprocess.Popen:
     logf = open(f"/tmp/bench_{tag}.log", "wb")
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
     return subprocess.Popen(
         [sys.executable, "-m"] + argv,
         stdout=logf,
         stderr=subprocess.STDOUT,
         preexec_fn=_preexec,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=full_env,
     )
 
 
@@ -107,6 +139,29 @@ def clean_shm() -> None:
                 os.unlink(os.path.join("/dev/shm", name))
             except OSError:
                 pass
+
+
+class StepTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def hard_deadline(name: str, cap_s: float):
+    """SIGALRM-enforced wall-clock cap: a config that stalls (compile
+    storm, dead module, wedged link) raises out of its blocking wait so
+    the sweep provably fits the budget. Child processes are cleaned up by
+    the config's own finally/stop on unwind."""
+
+    def _handler(signum, frame):
+        raise StepTimeout(f"{name}: exceeded {cap_s:.0f}s hard cap")
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(max(1, int(cap_s)))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 class PostWatch:
@@ -153,22 +208,38 @@ class PostWatch:
         self._acc.__exit__(None, None, None)
 
 
-def measure_counter(read_count, sample_latency=None, seconds: float = MEASURE_S):
-    """Rate of a monotonic counter + optional latency samples on change."""
+def measure_counter(
+    read_count,
+    sample_latency=None,
+    seconds: float = MEASURE_S,
+    sample_latency2=None,
+):
+    """Rate of a monotonic counter + optional latency samples on change.
+    ``sample_latency2`` collects a second series (e.g. newest-lane-only
+    latency) at the same instants; returns (rate, lats[, lats2])."""
     c0 = read_count()
     t0 = time.monotonic()
     last = c0
     lats: list = []
+    lats2: list = []
     while time.monotonic() - t0 < seconds:
         c = read_count()
-        if c != last and sample_latency is not None:
-            v = sample_latency()
-            if v is not None and v >= 0:
-                lats.append(v)
+        if c != last:
+            if sample_latency is not None:
+                v = sample_latency()
+                if v is not None and v >= 0:
+                    lats.append(v)
+            if sample_latency2 is not None:
+                v = sample_latency2()
+                if v is not None and v >= 0:
+                    lats2.append(v)
         last = c
         time.sleep(0.002)
     dt = time.monotonic() - t0
-    return (last - c0) / dt, lats
+    rate = (last - c0) / dt
+    if sample_latency2 is not None:
+        return rate, lats, lats2
+    return rate, lats
 
 
 def wait_counter(read_count, deadline_s: float, what: str, min_advance: int = 3) -> None:
@@ -194,7 +265,517 @@ def p50(xs) -> float:
 
 
 # ---------------------------------------------------------------------------
-# configs
+# device-resident benches (NO readbacks — see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def headline_device_chain() -> None:
+    """Device-resident red_buoy chain throughput: the chip-capacity
+    headline, emitted FIRST so no later step can take it down."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
+    from cuauv_vision_pipeline_tpu.engine.chains import RedBuoyPipeline
+
+    H, W = 1080, 1920
+    N_DISTINCT = 8
+    ITERS = 400
+
+    host_frames = [buoy_frame((H, W), t / 9.0) for t in range(N_DISTINCT)]
+    dev_frames = [jax.device_put(f) for f in host_frames]
+    jax.block_until_ready(dev_frames)
+
+    pipeline = RedBuoyPipeline()
+    tmin = np.int32(130)
+    tmax = np.int32(255)
+
+    for i in range(5):
+        out = pipeline.run_async(dev_frames[i % N_DISTINCT], tmin, tmax)
+    jax.block_until_ready(out)
+
+    # All ITERS chains are enqueued (async dispatch keeps the chip busy
+    # back-to-back) and the final detections are synchronized once;
+    # per-frame scalar readback is excluded because on this harness any
+    # host round-trip measures the ~100 ms tunnel, not the chain. The
+    # detection VALUES are asserted by tests/ and the topology configs —
+    # materializing them here would de-pipeline every later device bench.
+    start = time.perf_counter()
+    last = None
+    for i in range(ITERS):
+        _, _, best = pipeline.run_async(dev_frames[i % N_DISTINCT], tmin, tmax)
+        last = best
+    jax.block_until_ready(last)
+    chain_fps = ITERS / (time.perf_counter() - start)
+    TERMS["red_buoy_step_ms"] = 1000.0 / chain_fps
+    log(f"device chain: {chain_fps:.1f} fps")
+
+    target = 2000.0
+    _HEADLINE_LINE.update(
+        {
+            "metric": "red_buoy_1080p_device_chain_fps_per_chip",
+            "value": round(chain_fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(chain_fps / target, 4),
+        }
+    )
+    emit(
+        _HEADLINE_LINE["metric"],
+        _HEADLINE_LINE["value"],
+        _HEADLINE_LINE["unit"],
+        vs_baseline=_HEADLINE_LINE["vs_baseline"],
+    )
+
+
+def stereo_fanin_bench() -> None:
+    """Batched CCL fan-in: both ZED eyes in ONE device dispatch (the
+    red_buoy_stereo module's chain), device-resident pairs/sec."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
+    from cuauv_vision_pipeline_tpu.modules.red_buoy_stereo import BuoyStereo
+
+    H, W = 720, 1280  # production ZED HD720
+    frames = [
+        (
+            jax.device_put(buoy_frame((H, W), t / 7.0)),
+            jax.device_put(buoy_frame((H, W), t / 5.0 + 1)),
+        )
+        for t in range(4)
+    ]
+    jax.block_until_ready(frames)
+
+    module = BuoyStereo.__new__(BuoyStereo)  # chain only; no bus setup
+    chain = jax.jit(
+        lambda a, b, tmin, tmax: BuoyStereo.stereo_chain(
+            module, a, b, tuners={"thresh_min": tmin, "thresh_max": tmax},
+            want_posts=False,
+        ),
+        static_argnames=(),
+    )
+    tmin, tmax = np.int32(140), np.int32(255)
+    out = chain(*frames[0], tmin, tmax)
+    jax.block_until_ready(out)
+
+    ITERS = 200
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = chain(*frames[i % 4], tmin, tmax)
+    jax.block_until_ready(out)
+    pairs_per_s = ITERS / (time.perf_counter() - t0)
+    emit(
+        "red_buoy_stereo_720p_pairs_per_sec",
+        round(pairs_per_s, 2),
+        "stereo pairs/sec",
+        note="both eyes labeled in one batched Pallas CCL dispatch, device-resident",
+    )
+
+
+def device_step_bench() -> None:
+    """Amortized per-frame device step time of each config's chain at its
+    config resolution — the `step` term of the derived PCIe budgets. All
+    loops block once at the end (no readbacks)."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import (
+        bins_frame,
+        buoy_frame,
+    )
+
+    H, W = 720, 1280
+    ITERS = 100
+
+    def timed(name, fn, frames):
+        out = fn(frames[0])
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out = fn(frames[i % len(frames)])
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / ITERS * 1000
+        TERMS[name] = ms
+        log(f"device step {name}: {ms:.3f} ms/frame")
+        return ms
+
+    # bins chain (config 3): HSV + inRange + open -> cleaned mask
+    from cuauv_vision_pipeline_tpu.modules.bins import BinDetector
+
+    bins_mod = BinDetector.__new__(BinDetector)
+    bins_chain = jax.jit(
+        lambda img: BinDetector.bins_chain(
+            bins_mod, img, tuners={}, want_posts=False
+        )
+    )
+    bin_frames = [
+        jax.device_put(bins_frame((H, W), t / 5.0)) for t in range(4)
+    ]
+    jax.block_until_ready(bin_frames)
+    bins_ms = timed("bins_step_ms", bins_chain, bin_frames)
+
+    # color-balance chain (config 4): default-flag balance pipeline
+    from cuauv_vision_pipeline_tpu.ops.balance import BalanceConfig, balance
+
+    cfg = BalanceConfig()
+    cb = jax.jit(lambda img: balance(img, cfg))
+    cb_frames = [
+        jax.device_put(buoy_frame((H, W), t / 5.0)) for t in range(4)
+    ]
+    jax.block_until_ready(cb_frames)
+    cb_ms = timed("balance_step_ms", cb, cb_frames)
+
+    # yolo forward+decode+NMS (config 5) at the production 720p input
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+
+    model = YoloModel(None, task="obb")
+    yolo = lambda img: model.device_decode(img)
+    yolo_ms = timed("yolo_step_ms", yolo, cb_frames)
+
+    note = (
+        "amortized async dispatch at 720p (red_buoy at 1080p from the "
+        "headline); the `step` term of the derived budgets"
+    )
+    emit("device_step_bins_720p_ms", round(bins_ms, 3), "ms/frame", note=note)
+    emit("device_step_balance_720p_ms", round(cb_ms, 3), "ms/frame", note=note)
+    emit(
+        "device_step_yolo_720p_ms",
+        round(yolo_ms, 3),
+        "ms/frame",
+        note=note + " (full forward+decode+NMS, bf16 conv stack)",
+    )
+
+
+def transfer_bench() -> None:
+    """H2D transfer: single 1080p BGR frame (6.2 MB), sync / pipelined /
+    zero-copy (dlpack, no numpy bounce). Grounds the 'what would PCIe do'
+    derivation for the e2e numbers."""
+    import jax
+
+    frame = np.random.default_rng(0).integers(
+        0, 255, (1080, 1920, 3), np.uint8
+    )
+    # sync single-frame H2D (each put materialized before the next)
+    for _ in range(2):
+        jax.block_until_ready(jax.device_put(frame))
+    t0 = time.perf_counter()
+    N = 10
+    for _ in range(N):
+        jax.block_until_ready(jax.device_put(frame))
+    sync_ms = (time.perf_counter() - t0) / N * 1000
+
+    # pipelined: keep transfers in flight (what the depth-N executor does)
+    t0 = time.perf_counter()
+    M = 40
+    bufs = [jax.device_put(frame) for _ in range(M)]
+    jax.block_until_ready(bufs)
+    piped_ms = (time.perf_counter() - t0) / M * 1000
+
+    # zero-copy: wrap the staging buffer via dlpack (no host bounce copy)
+    # then device_put the cpu-backed array. Invisible behind the tunnel
+    # RTT; on PCIe hosts it removes one 6.2 MB host memcpy per frame.
+    zc_ms = None
+    try:
+        import jax.numpy as jnp
+
+        cpu_view = jnp.from_dlpack(frame)
+        dev = jax.devices()[0]
+        jax.block_until_ready(jax.device_put(cpu_view, dev))
+        t0 = time.perf_counter()
+        for _ in range(N):
+            jax.block_until_ready(jax.device_put(cpu_view, dev))
+        zc_ms = (time.perf_counter() - t0) / N * 1000
+    except Exception as e:
+        log(f"zero-copy H2D unavailable: {type(e).__name__}: {e}")
+
+    mb = frame.nbytes / 1e6
+    TERMS["h2d_sync_ms"] = sync_ms
+    emit(
+        "h2d_1080p_frame_ms",
+        round(sync_ms, 2),
+        "ms",
+        pipelined_ms=round(piped_ms, 2),
+        frame_mb=round(mb, 1),
+        sync_mbps=round(mb / (sync_ms / 1000), 1),
+        pipelined_mbps=round(mb / (piped_ms / 1000), 1),
+        note="tunnel-attached chip; production PCIe-class links move 6.2MB in <1ms",
+    )
+    if zc_ms is not None:
+        emit(
+            "h2d_zero_copy_ms",
+            round(zc_ms, 2),
+            "ms",
+            copy_path_ms=round(sync_ms, 2),
+            note="staging buffer -> dlpack cpu array -> device_put (no numpy bounce); tunnel RTT dominates here, the saving is the host memcpy on PCIe hosts",
+        )
+
+
+def bus_roundtrip_bench() -> None:
+    """Camera->bus->module-host latency with NO device in the loop: writer
+    process publishes frames through the real /dev/shm seqlock ring, a
+    reader consumes them; p50 of (read time - acquisition stamp). This is
+    the pure host leg of the camera-to-detection budget, at both config
+    resolutions."""
+    for label, (h, w) in (("720p", (720, 1280)), ("1080p", (1080, 1920))):
+        _bus_roundtrip_once(label, h, w)
+
+
+def _bus_roundtrip_once(label: str, h: int, w: int) -> None:
+    import uuid
+
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import (
+        BlockAccessor,
+        ReadStatus,
+    )
+
+    direction = f"bench_bus_{uuid.uuid4().hex[:8]}"
+    writer_code = (
+        "import sys, time, numpy as np\n"
+        "from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor\n"
+        f"acc = BlockAccessor('{direction}', max_entry_size_bytes={h}*{w}*3, slot_count=8)\n"
+        f"frame = np.random.default_rng(0).integers(0,255,({h},{w},3),np.uint8)\n"
+        "with acc:\n"
+        "    end = time.monotonic() + 25\n"
+        "    while time.monotonic() < end:\n"
+        "        acc.write_frame(int(time.monotonic()*1000), frame)\n"
+        "        time.sleep(1/60)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", writer_code],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT,
+        preexec_fn=_preexec,
+    )
+    lats = []
+    try:
+        reader = BlockAccessor(direction)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            try:
+                with reader:
+                    reader.block_thread()
+                    end = time.monotonic() + 10
+                    while time.monotonic() < end and len(lats) < 400:
+                        status, data, acq = reader.read_frame()
+                        if status == ReadStatus.SUCCESS and data is not None:
+                            # touch one byte per page-ish to include the
+                            # consumer-visible cost, then stamp
+                            _ = int(data[0, 0, 0]) + int(data[-1, -1, -1])
+                            lats.append(time.monotonic() * 1000 - acq)
+                break
+            except Exception:
+                time.sleep(0.5)  # writer not up yet
+    finally:
+        stop(proc)
+    TERMS[f"bus_{label}_p50_ms"] = p50(lats)
+    emit(
+        f"bus_roundtrip_{label}_p50_ms",
+        round(p50(lats), 2),
+        "ms",
+        n_samples=len(lats),
+        note="capture proc -> /dev/shm seqlock ring -> reader (no device); the host leg of camera-to-detection",
+    )
+
+
+def yolo_host_path_bench() -> None:
+    """Host half of the YOLO module tick: summarize_decoded (letterbox
+    undo + validity filter) + tracker.update + class bucketing + all six
+    OBB handlers on a realistic decode dict. With the device forward
+    measured separately and H2D/bus measured, this completes the
+    camera-to-detection budget without the tunnel in the loop.
+
+    Runs in a SUBPROCESS: model construction touches the device and its
+    first host readback would de-pipeline this process's dispatch path
+    (BENCH_NOTES.md "de-pipelining trap")."""
+    code = (
+        "from bench import _yolo_host_path_inner\n"
+        "print('YOLO_HOST_MS', _yolo_host_path_inner())\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    ms = None
+    for line in out.stdout.splitlines():
+        if line.startswith("YOLO_HOST_MS"):
+            ms = float(line.split()[1])
+    if ms is None:
+        raise RuntimeError(f"host-path subprocess failed: {out.stderr[-800:]}")
+    TERMS["yolo_host_ms"] = ms
+    emit(
+        "yolo_host_path_ms",
+        round(ms, 2),
+        "ms",
+        note="summarize + tracker.update + bucketing + six OBB handlers per frame, host only (perf mode)",
+    )
+
+
+def _yolo_host_path_inner() -> float:
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+    from cuauv_vision_pipeline_tpu.modules.yolo import (
+        HANDLERS,
+        TUNERS,
+        Yolo,
+        _ACTIVE_FLAG,
+    )
+    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
+
+    rng = np.random.default_rng(0)
+    module = object.__new__(Yolo)
+    module.post = lambda *a, **k: None
+    module._performance_enabled = True
+    values = {t.name: 0.05 for t in TUNERS}
+
+    class _T(dict):
+        def __getitem__(self, k):
+            return values[k]
+
+    module._module_manager = _T()
+    module.normalize = lambda c: (c[0] / 640 - 0.5, c[1] / 640 - 0.5)
+    module.normalize_axis = lambda c, a: c / 640 - 0.5
+    module.get_latency = lambda: 0
+    HandlerMixin.__init__(module, HANDLERS)
+    module.model = YoloModel(None, task="obb", image_size=640, max_det=32)
+    module.map_fn = MAP_FN["obb"]
+    for flag in _ACTIVE_FLAG.values():
+        shm.active_objects.set_field(flag, True)
+        shm.active_objects.set_field(f"{flag}_direction", "forward")
+
+    # realistic decode dict: max_det candidates, ~8 valid
+    n = module.model.max_det
+    decoded = {
+        "xyxy": rng.random((n, 4), np.float32) * 640,
+        "score": rng.random((n,), np.float32),
+        "cls": rng.integers(0, 15, (n,)).astype(np.float32),
+        "angle": rng.random((n,), np.float32),
+        "valid": (np.arange(n) < 8),
+    }
+    image = rng.integers(0, 255, (720, 1280, 3), np.uint8)
+
+    def tick():
+        # the REAL on_device_result sequence (modules/yolo.py:123-136):
+        # summarize, tracker update, bucket + handlers
+        results = module.model.summarize_decoded(dict(decoded), (720, 1280))
+        module.model._tracker.update(results)
+        module._dispatch_detections("forward", image, results)
+
+    tick()  # warm
+    t0 = time.perf_counter()
+    N = 50
+    for _ in range(N):
+        tick()
+    return (time.perf_counter() - t0) / N * 1000
+
+
+def host_leg_bench() -> None:
+    """Tiny host legs of the non-yolo configs: shm result write (config 1)
+    and contour+minAreaRect extraction on a bin-plate mask (config 3)."""
+    from cuauv_vision_pipeline_tpu.core import shm
+    from cuauv_vision_pipeline_tpu.utils.feature import (
+        min_enclosing_rect,
+        outer_contours,
+    )
+
+    g = shm.red_buoy_results
+    t0 = time.perf_counter()
+    for i in range(1000):
+        g.set(visible=True, center_x=0.1, center_y=0.2, area=123.0,
+              latency_ms=1.0, latency_newest_ms=1.0)
+    TERMS["shm_set_ms"] = (time.perf_counter() - t0)  # /1000 its in ms
+
+    # representative cleaned mask: the bin plate rectangle at 720p
+    mask = np.zeros((720, 1280), np.uint8)
+    mask[300:460, 480:800] = 255
+    t0 = time.perf_counter()
+    N = 50
+    for _ in range(N):
+        rects = [
+            min_enclosing_rect(c) for c in outer_contours(mask)
+        ]
+    TERMS["bins_host_ms"] = (time.perf_counter() - t0) / N * 1000
+    log(
+        f"host legs: shm set {TERMS['shm_set_ms']:.4f} ms, bins contours "
+        f"{TERMS['bins_host_ms']:.3f} ms ({len(rects)} rect)"
+    )
+
+
+def derived_budget_bench() -> None:
+    """COMPUTED camera-to-detection p50 on a PCIe-class host, per device
+    config, from THIS RUN's measured terms. The two tunnel-hidden legs use
+    the documented link model (PCIE_GBPS effective + PCIE_OH_MS/transfer);
+    every term is echoed so the arithmetic is auditable."""
+
+    def xfer_ms(mbytes: float) -> float:
+        return PCIE_OH_MS + mbytes / (PCIE_GBPS * 1000.0)
+
+    link = f"pcie-class link model: {PCIE_GBPS} GB/s effective + {PCIE_OH_MS} ms/transfer"
+
+    def derive(metric, bus_key, frame_mb, step_key, fetch_mb, host_ms, note):
+        bus = TERMS.get(bus_key)
+        step = TERMS.get(step_key)
+        if bus is None or step is None or host_ms is None:
+            log(f"{metric}: missing terms (bus={bus}, step={step}, host={host_ms})")
+            return
+        h2d = xfer_ms(frame_mb)
+        fetch = xfer_ms(fetch_mb)
+        total = bus + h2d + step + fetch + host_ms
+        emit(
+            metric,
+            round(total, 2),
+            "ms",
+            bus_ms=round(bus, 3),
+            h2d_ms=round(h2d, 3),
+            step_ms=round(step, 3),
+            fetch_ms=round(fetch, 3),
+            host_ms=round(host_ms, 3),
+            frame_mb=round(frame_mb, 2),
+            fetch_mb=round(fetch_mb, 3),
+            link_model=link,
+            note=note,
+        )
+
+    derive(
+        "derived_pcie_p50_ms_config1_red_buoy",
+        "bus_1080p_p50_ms",
+        1080 * 1920 * 3 / 1e6,
+        "red_buoy_step_ms",
+        0.001,  # packed detection scalars
+        TERMS.get("shm_set_ms"),
+        "1080p frame up, detection scalars back, shm result write",
+    )
+    derive(
+        "derived_pcie_p50_ms_config3_bins",
+        "bus_720p_p50_ms",
+        720 * 1280 * 3 / 1e6,
+        "bins_step_ms",
+        720 * 1280 / 1e6,  # cleaned mask rides the packed fetch
+        TERMS.get("bins_host_ms"),
+        "720p frame up, cleaned mask back, host contours+minAreaRect (SIFT pose excluded: optional flow, measured separately in config 3)",
+    )
+    derive(
+        "derived_pcie_p50_ms_config4_balance",
+        "bus_720p_p50_ms",
+        720 * 1280 * 3 / 1e6,
+        "balance_step_ms",
+        720 * 1280 * 3 / 1e6,  # balanced u8 image back
+        0.0,
+        "720p frame up, balanced image back; preprocessor/auto_calibrate idle at default tuners (perf mode: no post copies)",
+    )
+    derive(
+        "derived_pcie_p50_ms_config5_yolo",
+        "bus_720p_p50_ms",
+        720 * 1280 * 3 / 1e6,
+        "yolo_step_ms",
+        0.005,  # fixed-shape decode dict (max_det rows)
+        TERMS.get("yolo_host_ms"),
+        "720p frame up, decode dict back, summarize+tracker+6 OBB handlers on host; p50-of-sum approximated by sum of leg p50s (legs are independent and low-variance on PCIe)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# topology configs (capture process -> bus -> module process -> shm)
 # ---------------------------------------------------------------------------
 
 
@@ -231,28 +812,33 @@ def config1_red_buoy_e2e() -> None:
     try:
         grp = shm.red_buoy_results
         wait_counter(lambda: grp.seq, WARM_S, "red_buoy results")
-        fps, lats = measure_counter(
-            lambda: grp.seq, lambda: grp.latency_ms.get()
+        fps, lats, newest = measure_counter(
+            lambda: grp.seq,
+            lambda: grp.latency_ms.get(),
+            sample_latency2=lambda: grp.latency_newest_ms.get(),
         )
         emit(
             "red_buoy_1080p_e2e_topology_fps",
             round(fps, 2),
             "frames/sec",
             p50_latency_ms=round(p50(lats), 1),
-            note="capture proc -> bus -> module proc (device_fn, perf mode); tunnel-attached chip",
+            p50_latency_newest_lane_ms=round(p50(newest), 1),
+            note="capture proc -> bus -> module proc (device_fn, perf mode); tunnel-attached chip. all-lane latency counts drained stale lanes; newest-lane is the latest-wins-comparable number",
         )
     finally:
         stop(mod, src)
 
 
 def config2_gate_video() -> None:
-    """BASELINE config 2: gate module on recorded footage (image_directory
-    source over rendered frames — no video assets in this env)."""
+    """BASELINE config 2: gate module + the FULL GateOBB localization
+    (handlers/gate.py equivalent) on recorded footage (image_directory
+    over rendered frames — no video assets in this env)."""
     import tempfile
 
     from PIL import Image
 
     from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
+    from cuauv_vision_pipeline_tpu.core import shm
 
     clean_shm()
     d = tempfile.mkdtemp(prefix="bench_gate_")
@@ -279,31 +865,43 @@ def config2_gate_video() -> None:
             "1000",
         ],
         "c2_mod",
+        env={"CUAUV_GATE_LOCALIZE": "1"},
     )
     try:
+        grp = shm.yolo_gate
         watch = PostWatch("GateDetector", WARM_S)
         wait_counter(watch.uid, 60, "gate posts")
         fps, lats = measure_counter(watch.uid, watch.sample_latency_ms)
+        gate_writes, _ = measure_counter(lambda: grp.seq, seconds=4)
+        g = grp.get()
         watch.close()
         emit(
-            "gate_720p_video_e2e_fps",
+            "gate_localization_720p_e2e_fps",
             round(fps, 2),
             "frames/sec",
             p50_latency_ms=round(p50(lats), 1),
-            note="image_directory(rendered PNGs) -> gate module -> post block",
+            shm_gate_writes_per_s=round(gate_writes, 2),
+            shark_visible=bool(g.shark_visible),
+            saw_visible=bool(g.saw_visible),
+            note="image_directory(rendered PNGs) -> gate module running full GateOBB localization (order_points, gating, normalize, shm.yolo_gate, draw) -> post block",
         )
     finally:
         stop(mod, src)
 
 
 def config3_bins() -> None:
-    """BASELINE config 3: bins module (HSV chain + minAreaRect pose) on a
-    synthetic source."""
+    """BASELINE config 3: bins module — HSV chain + minAreaRect + SIFT
+    pose estimation (utils/feature + utils/sift) on the textured bins
+    scene."""
+    from cuauv_vision_pipeline_tpu.core import shm
+
     clean_shm()
     src = spawn(
         [
             "cuauv_vision_pipeline_tpu.capture_sources.synthetic",
             "binscam",
+            "--scene",
+            "bins",
             "--width",
             "1280",
             "--height",
@@ -323,18 +921,30 @@ def config3_bins() -> None:
             "1000",
         ],
         "c3_mod",
+        env={"CUAUV_BINS_POSE_TEMPLATE": "builtin"},
     )
     try:
+        grp = shm.bins_pose
         watch = PostWatch("BinDetector", WARM_S)
         wait_counter(watch.uid, 60, "bins posts")
         fps, lats = measure_counter(watch.uid, watch.sample_latency_ms)
+        pose_fps, pose_lats = measure_counter(
+            lambda: grp.seq,
+            lambda: grp.latency_ms.get(),
+            seconds=min(MEASURE_S, 8),
+        )
+        g = grp.get()
         watch.close()
         emit(
-            "bins_720p_e2e_fps",
+            "bins_sift_720p_e2e_fps",
             round(fps, 2),
             "frames/sec",
             p50_latency_ms=round(p50(lats), 1),
-            note="synthetic -> bins module (HSV device chain + host rect pose) -> post",
+            pose_results_per_s=round(pose_fps, 2),
+            pose_visible=bool(g.visible),
+            pose_inliers=int(g.inliers),
+            pose_p50_latency_ms=round(p50(pose_lats), 1),
+            note="bins scene -> bins module (HSV device chain + host rect pose + SIFT template match on MXU) -> shm.bins_pose + post",
         )
     finally:
         stop(mod, src)
@@ -456,291 +1066,18 @@ def config5_yolo_latency() -> None:
             fps=round(fps, 2),
             n_samples=len(lats),
             target_ms=5.0,
-            note="concurrent zed-stereo + flir stand-ins -> yolo (6 OBB handlers); tunnel-attached chip",
+            derived_pcie_p50_ms=next(
+                (
+                    r["value"]
+                    for r in RESULTS
+                    if r["metric"] == "derived_pcie_p50_ms_config5_yolo"
+                ),
+                None,
+            ),
+            note="concurrent zed-stereo + flir stand-ins -> yolo (6 OBB handlers); tunnel-attached chip (measured number is tunnel RTT-dominated; see derived_pcie_p50_ms_config5_yolo)",
         )
     finally:
         stop(mod, flir, zed)
-
-
-def stereo_fanin_bench() -> None:
-    """Batched CCL fan-in: both ZED eyes in ONE device dispatch (the
-    red_buoy_stereo module's chain), device-resident pairs/sec."""
-    import jax
-    import jax.numpy as jnp
-
-    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
-    from cuauv_vision_pipeline_tpu.modules.red_buoy_stereo import BuoyStereo
-
-    H, W = 720, 1280  # production ZED HD720
-    frames = [
-        (
-            jax.device_put(buoy_frame((H, W), t / 7.0)),
-            jax.device_put(buoy_frame((H, W), t / 5.0 + 1)),
-        )
-        for t in range(4)
-    ]
-    jax.block_until_ready(frames)
-
-    module = BuoyStereo.__new__(BuoyStereo)  # chain only; no bus setup
-    chain = jax.jit(
-        lambda a, b, tmin, tmax: BuoyStereo.stereo_chain(
-            module, a, b, tuners={"thresh_min": tmin, "thresh_max": tmax},
-            want_posts=False,
-        ),
-        static_argnames=(),
-    )
-    tmin, tmax = np.int32(140), np.int32(255)
-    out = chain(*frames[0], tmin, tmax)
-    jax.block_until_ready(out)
-
-    ITERS = 200
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = chain(*frames[i % 4], tmin, tmax)
-    jax.block_until_ready(out)
-    pairs_per_s = ITERS / (time.perf_counter() - t0)
-    emit(
-        "red_buoy_stereo_720p_pairs_per_sec",
-        round(pairs_per_s, 2),
-        "stereo pairs/sec",
-        note="both eyes labeled in one batched Pallas CCL dispatch, device-resident",
-    )
-
-
-def transfer_bench() -> None:
-    """H2D transfer: single 1080p BGR frame (6.2 MB), sync and pipelined.
-    Grounds the 'what would PCIe do' derivation for the e2e numbers."""
-    import jax
-
-    frame = np.random.default_rng(0).integers(
-        0, 255, (1080, 1920, 3), np.uint8
-    )
-    # sync single-frame H2D (each put materialized before the next)
-    for _ in range(2):
-        jax.block_until_ready(jax.device_put(frame))
-    t0 = time.perf_counter()
-    N = 10
-    for _ in range(N):
-        jax.block_until_ready(jax.device_put(frame))
-    sync_ms = (time.perf_counter() - t0) / N * 1000
-
-    # pipelined: keep 8 transfers in flight (what the depth-N executor does)
-    t0 = time.perf_counter()
-    M = 40
-    bufs = [jax.device_put(frame) for _ in range(M)]
-    jax.block_until_ready(bufs)
-    piped_ms = (time.perf_counter() - t0) / M * 1000
-
-    mb = frame.nbytes / 1e6
-    emit(
-        "h2d_1080p_frame_ms",
-        round(sync_ms, 2),
-        "ms",
-        pipelined_ms=round(piped_ms, 2),
-        frame_mb=round(mb, 1),
-        sync_mbps=round(mb / (sync_ms / 1000), 1),
-        pipelined_mbps=round(mb / (piped_ms / 1000), 1),
-        note="tunnel-attached chip; production PCIe-class links move 6.2MB in <1ms",
-    )
-
-
-def bus_roundtrip_bench() -> None:
-    """Camera->bus->module-host latency with NO device in the loop: writer
-    process publishes 720p frames through the real /dev/shm seqlock ring, a
-    reader consumes them; p50 of (read time - acquisition stamp). This is
-    the pure host leg of the camera-to-detection budget."""
-    import uuid
-
-    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import (
-        BlockAccessor,
-        ReadStatus,
-    )
-
-    direction = f"bench_bus_{uuid.uuid4().hex[:8]}"
-    writer_code = (
-        "import sys, time, numpy as np\n"
-        "from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor\n"
-        f"acc = BlockAccessor('{direction}', max_entry_size_bytes=1280*720*3, slot_count=8)\n"
-        "frame = np.random.default_rng(0).integers(0,255,(720,1280,3),np.uint8)\n"
-        "with acc:\n"
-        "    end = time.monotonic() + 25\n"
-        "    while time.monotonic() < end:\n"
-        "        acc.write_frame(int(time.monotonic()*1000), frame)\n"
-        "        time.sleep(1/60)\n"
-    )
-    proc = subprocess.Popen(
-        [sys.executable, "-c", writer_code],
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.STDOUT,
-        preexec_fn=_preexec,
-    )
-    lats = []
-    try:
-        reader = BlockAccessor(direction)
-        deadline = time.monotonic() + 10
-        while time.monotonic() < deadline:
-            try:
-                with reader:
-                    reader.block_thread()
-                    end = time.monotonic() + 10
-                    while time.monotonic() < end and len(lats) < 400:
-                        status, data, acq = reader.read_frame()
-                        if status == ReadStatus.SUCCESS and data is not None:
-                            # touch one byte per page-ish to include the
-                            # consumer-visible cost, then stamp
-                            _ = int(data[0, 0, 0]) + int(data[-1, -1, -1])
-                            lats.append(time.monotonic() * 1000 - acq)
-                break
-            except Exception:
-                time.sleep(0.5)  # writer not up yet
-    finally:
-        stop(proc)
-    emit(
-        "bus_roundtrip_720p_p50_ms",
-        round(p50(lats), 2),
-        "ms",
-        n_samples=len(lats),
-        note="capture proc -> /dev/shm seqlock ring -> reader (no device); the host leg of camera-to-detection",
-    )
-
-
-def yolo_host_path_bench() -> None:
-    """Host half of the YOLO module tick: summarize_decoded (letterbox
-    undo + validity filter) + class bucketing + all six OBB handlers on a
-    realistic decode dict. With the device forward measured separately
-    (0.42 ms) and H2D/bus measured, this completes the camera-to-detection
-    budget without the tunnel in the loop.
-
-    Runs in a SUBPROCESS: model construction touches the device and its
-    first host readback would de-pipeline this process's dispatch path,
-    poisoning the headline loop that runs afterwards (BENCH_NOTES.md
-    "de-pipelining trap")."""
-    code = (
-        "from bench import _yolo_host_path_inner\n"
-        "print('YOLO_HOST_MS', _yolo_host_path_inner())\n"
-    )
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    ms = None
-    for line in out.stdout.splitlines():
-        if line.startswith("YOLO_HOST_MS"):
-            ms = float(line.split()[1])
-    if ms is None:
-        raise RuntimeError(f"host-path subprocess failed: {out.stderr[-800:]}")
-    emit(
-        "yolo_host_path_ms",
-        round(ms, 2),
-        "ms",
-        note="summarize + bucketing + six OBB handlers per frame, host only (perf mode)",
-    )
-
-
-def _yolo_host_path_inner() -> float:
-    from cuauv_vision_pipeline_tpu.core import shm
-    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
-    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
-    from cuauv_vision_pipeline_tpu.modules.yolo import (
-        HANDLERS,
-        TUNERS,
-        Yolo,
-        _ACTIVE_FLAG,
-    )
-    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
-
-    rng = np.random.default_rng(0)
-    module = object.__new__(Yolo)
-    module.post = lambda *a, **k: None
-    module._performance_enabled = True
-    values = {t.name: 0.05 for t in TUNERS}
-
-    class _T(dict):
-        def __getitem__(self, k):
-            return values[k]
-
-    module._module_manager = _T()
-    module.normalize = lambda c: (c[0] / 640 - 0.5, c[1] / 640 - 0.5)
-    module.normalize_axis = lambda c, a: c / 640 - 0.5
-    module.get_latency = lambda: 0
-    HandlerMixin.__init__(module, HANDLERS)
-    module.model = YoloModel(None, task="obb", image_size=640, max_det=32)
-    module.map_fn = MAP_FN["obb"]
-    for flag in _ACTIVE_FLAG.values():
-        shm.active_objects.set_field(flag, True)
-        shm.active_objects.set_field(f"{flag}_direction", "forward")
-
-    # realistic decode dict: max_det candidates, ~8 valid
-    n = module.model.max_det
-    decoded = {
-        "xyxy": rng.random((n, 4), np.float32) * 640,
-        "score": rng.random((n,), np.float32),
-        "cls": rng.integers(0, 15, (n,)).astype(np.float32),
-        "angle": rng.random((n,), np.float32),
-        "valid": (np.arange(n) < 8),
-    }
-    image = rng.integers(0, 255, (720, 1280, 3), np.uint8)
-
-    def tick():
-        results = module.model.summarize_decoded(dict(decoded), (720, 1280))
-        module._dispatch_detections("forward", image, results)
-
-    tick()  # warm
-    t0 = time.perf_counter()
-    N = 50
-    for _ in range(N):
-        tick()
-    return (time.perf_counter() - t0) / N * 1000
-
-
-def headline_device_chain() -> None:
-    """Device-resident red_buoy chain throughput (the chip-capacity
-    headline, as in round 1)."""
-    import jax
-
-    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
-    from cuauv_vision_pipeline_tpu.engine.chains import RedBuoyPipeline
-
-    H, W = 1080, 1920
-    N_DISTINCT = 8
-    ITERS = 400
-
-    host_frames = [buoy_frame((H, W), t / 9.0) for t in range(N_DISTINCT)]
-    dev_frames = [jax.device_put(f) for f in host_frames]
-    jax.block_until_ready(dev_frames)
-
-    pipeline = RedBuoyPipeline()
-    tmin = np.int32(130)
-    tmax = np.int32(255)
-
-    for i in range(5):
-        out = pipeline.run_async(dev_frames[i % N_DISTINCT], tmin, tmax)
-    jax.block_until_ready(out)
-
-    # All ITERS chains are enqueued (async dispatch keeps the chip busy
-    # back-to-back) and the final detections are synchronized once;
-    # per-frame scalar readback is excluded because on this harness any
-    # host round-trip measures the ~100 ms tunnel, not the chain.
-    start = time.perf_counter()
-    last = None
-    for i in range(ITERS):
-        _, _, best = pipeline.run_async(dev_frames[i % N_DISTINCT], tmin, tmax)
-        last = best
-    jax.block_until_ready(last)
-    chain_fps = ITERS / (time.perf_counter() - start)
-    detection = {k: np.asarray(v).tolist() for k, v in last.items()}
-    log(f"device chain: {chain_fps:.1f} fps; last detection: {detection}")
-
-    target = 2000.0
-    emit(
-        "red_buoy_1080p_device_chain_fps_per_chip",
-        round(chain_fps, 2),
-        "frames/sec",
-        vs_baseline=round(chain_fps / target, 4),
-    )
 
 
 def main() -> None:
@@ -748,40 +1085,50 @@ def main() -> None:
 
     ensure_compile_cache()
 
+    # order: headline + device benches FIRST (before any readback / any
+    # window-burning config), micro-benches + derived budgets next, then
+    # the five topology configs, most important first.
     steps = {
-        "1": ("config 1: red_buoy e2e topology", config1_red_buoy_e2e),
-        "2": ("config 2: gate on recorded frames", config2_gate_video),
-        "3": ("config 3: bins", config3_bins),
-        "4": ("config 4: preprocess chain", config4_preprocess_chain),
-        "5": ("config 5: yolo p50 latency", config5_yolo_latency),
-        "s": ("stereo fan-in chain", stereo_fanin_bench),
-        "t": ("H2D transfer", transfer_bench),
-        "b": ("bus roundtrip", bus_roundtrip_bench),
-        "y": ("yolo host path", yolo_host_path_bench),
+        "h": ("headline: device chain", headline_device_chain, 900),
+        "s": ("stereo fan-in chain", stereo_fanin_bench, 420),
+        "d": ("device chain steps", device_step_bench, 600),
+        "t": ("H2D transfer", transfer_bench, 300),
+        "b": ("bus roundtrip", bus_roundtrip_bench, 120),
+        "y": ("yolo host path", yolo_host_path_bench, 620),
+        "p": ("derived PCIe budgets", _derived_with_host_legs, 120),
+        "1": ("config 1: red_buoy e2e topology", config1_red_buoy_e2e, CONFIG_CAP_S),
+        "5": ("config 5: yolo p50 latency", config5_yolo_latency, CONFIG_CAP_S),
+        "2": ("config 2: gate localization", config2_gate_video, CONFIG_CAP_S),
+        "3": ("config 3: bins + sift pose", config3_bins, CONFIG_CAP_S),
+        "4": ("config 4: preprocess chain", config4_preprocess_chain, CONFIG_CAP_S),
     }
-    # global budget: every module-process start on this harness pays an
-    # uncacheable first-readback remote compile (150-550 s observed), so a
-    # full 7-config sweep can run long — skip remaining configs rather than
-    # let an overall kill take the headline down with them
-    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "3600"))
     t_start = time.monotonic()
     for key in CONFIGS:
         key = key.strip()
-        if key == "h":
-            continue  # headline always runs last
-        name, fn = steps.get(key, (None, None))
+        name, fn, cap = steps.get(key, (None, None, 0))
         if fn is None:
             continue
-        if time.monotonic() - t_start > budget_s:
-            log(f"--- {name} SKIPPED: over {budget_s:.0f}s budget ---")
+        remaining = BUDGET_S - (time.monotonic() - t_start)
+        if remaining < 30:
+            log(f"--- {name} SKIPPED: over {BUDGET_S:.0f}s budget ---")
             continue
-        log(f"--- {name} ---")
+        log(f"--- {name} (cap {min(cap, remaining):.0f}s) ---")
         try:
-            fn()
-        except Exception as e:  # a failed config must not kill the headline
+            with hard_deadline(name, min(cap, remaining)):
+                fn()
+        except Exception as e:  # a failed step must not kill the rest
             log(f"{name} FAILED: {type(e).__name__}: {e}")
-    log("--- headline: device chain ---")
-    headline_device_chain()
+
+    # re-print the headline as the LAST line (drivers parse the tail)
+    if _HEADLINE_LINE:
+        print(json.dumps(_HEADLINE_LINE), flush=True)
+    else:
+        log("WARNING: headline never ran")
+
+
+def _derived_with_host_legs() -> None:
+    host_leg_bench()
+    derived_budget_bench()
 
 
 if __name__ == "__main__":
