@@ -429,6 +429,28 @@ def device_step_bench() -> None:
     yolo = lambda img: model.device_decode(img)
     yolo_ms = timed("yolo_step_ms", yolo, cb_frames)
 
+    # weight-only int8 (conv kernels int8+scale, dequant fused on-chip)
+    model_i8 = YoloModel(None, task="obb", quantize="int8")
+    yolo_i8 = lambda img: model_i8.device_decode(img)
+    yolo_i8_ms = timed("yolo_int8_step_ms", yolo_i8, cb_frames)
+
+    # multi-camera batched forward: 2 cameras, ONE MXU dispatch
+    import jax as _jax
+
+    flir_frames = [
+        jax.device_put(buoy_frame((600, 800), t / 4.0)) for t in range(4)
+    ]
+    jax.block_until_ready(flir_frames)
+    multi = _jax.jit(lambda a, b: model.device_decode_multi((a, b)))
+    out = multi(cb_frames[0], flir_frames[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(100):
+        out = multi(cb_frames[i % 4], flir_frames[i % 4])
+    jax.block_until_ready(out)
+    multi_ms = (time.perf_counter() - t0) / 100 * 1000
+    TERMS["yolo_multicam_step_ms"] = multi_ms
+
     note = (
         "amortized async dispatch at 720p (red_buoy at 1080p from the "
         "headline); the `step` term of the derived budgets"
@@ -440,6 +462,21 @@ def device_step_bench() -> None:
         round(yolo_ms, 3),
         "ms/frame",
         note=note + " (full forward+decode+NMS, bf16 conv stack)",
+    )
+    emit(
+        "device_step_yolo_int8_720p_ms",
+        round(yolo_i8_ms, 3),
+        "ms/frame",
+        bf16_ms=round(yolo_ms, 3),
+        note="weight-only int8 conv kernels (per-channel scales, on-chip dequant to bf16); parity pinned by tests/test_yolo.py",
+    )
+    emit(
+        "device_step_yolo_multicam_2cam_ms",
+        round(multi_ms, 3),
+        "ms/2 frames",
+        per_camera_ms=round(multi_ms / 2, 3),
+        single_camera_ms=round(yolo_ms, 3),
+        note="zed 720p + flir 600p letterboxed into ONE batched MXU dispatch (modules/yolo_multicam.py chain)",
     )
 
 

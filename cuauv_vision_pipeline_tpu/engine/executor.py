@@ -24,6 +24,7 @@ PCIe):
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -37,6 +38,25 @@ import numpy as np
 from ..core.jaxconfig import ensure_compile_cache
 
 ensure_compile_cache()
+
+# CUAUV_ZERO_COPY_H2D=1: hand the bus staging buffer to the device runtime
+# through dlpack instead of the numpy ingest path, skipping one host-side
+# bounce copy per frame (SURVEY §7 "copy once into the pinned H2D staging
+# buffer"). Safe with the staging-depth contract (views stay valid for
+# depth+1 reads, core/bindings/frame_bus.py). Opt-in: invisible behind a
+# tunnel RTT, measurable on PCIe hosts (bench.py h2d_zero_copy_ms).
+_ZERO_COPY_H2D = os.environ.get("CUAUV_ZERO_COPY_H2D", "") == "1"
+
+
+def _host_to_device(a: Any) -> Any:
+    if not isinstance(a, np.ndarray):
+        return a
+    if _ZERO_COPY_H2D:
+        try:
+            return jax.device_put(jnp.from_dlpack(a), jax.devices()[0])
+        except Exception:
+            pass  # non-contiguous / unsupported dtype: numpy path below
+    return jax.device_put(a)
 
 
 # ---------------------------------------------------------------------------
@@ -192,9 +212,7 @@ class StreamExecutor:
     def submit(
         self, args: Tuple[Any, ...], meta: Any = None, **kwargs: Any
     ) -> List[Tuple[Any, Any]]:
-        device_args = tuple(
-            jax.device_put(a) if isinstance(a, np.ndarray) else a for a in args
-        )
+        device_args = tuple(_host_to_device(a) for a in args)
         fut = self.pipeline(*device_args, **kwargs)
         if not self.async_fetch:
             self._queue.append((fut, meta))

@@ -33,6 +33,35 @@ DEFAULT_CLASS_NAMES = [
 ]
 
 
+def quantize_weights_int8(variables):
+    """Weight-only int8: per-output-channel symmetric scales for every 4D
+    conv kernel (HWIO); everything else passes through. Returns
+    (quantized_tree, scales_tree) with identical treedefs — the forward
+    dequantizes to bf16 on-chip, so HBM holds 1 byte/weight instead of 4
+    (2 vs bf16) and the conv stack's weight-streaming bandwidth quarters.
+    Beyond the reference (its yolo ran ultralytics f16/f32,
+    reference modules/yolo.py:44-55)."""
+
+    def _scale(arr: np.ndarray) -> np.ndarray:
+        s = np.max(np.abs(arr), axis=(0, 1, 2), keepdims=True) / 127.0
+        return np.where(s == 0, 1.0, s).astype(np.float32)
+
+    def split_q(p):
+        arr = np.asarray(p)
+        if arr.ndim == 4 and np.issubdtype(arr.dtype, np.floating):
+            s = _scale(arr)
+            return np.clip(np.rint(arr / s), -127, 127).astype(np.int8)
+        return arr
+
+    def split_s(p):
+        arr = np.asarray(p)
+        if arr.ndim == 4 and np.issubdtype(arr.dtype, np.floating):
+            return _scale(arr)
+        return np.float32(1.0)
+
+    return jax.tree.map(split_q, variables), jax.tree.map(split_s, variables)
+
+
 class _Result:
     """Mimics ultralytics Results just enough for .summary()."""
 
@@ -56,15 +85,24 @@ class YoloModel:
         conf_thresh: float = 0.25,
         max_det: int = 32,
         half_precision: bool = True,
+        quantize: Optional[str] = None,
     ):
         """half_precision runs the conv stack in bfloat16 on the MXU (params
         cast at trace time; decode stays f32) — the production inference
-        mode; set False for exact-f32 debugging."""
+        mode; set False for exact-f32 debugging. quantize="int8" (or env
+        CUAUV_YOLO_INT8=1) stores conv kernels as int8 + per-channel scale
+        and dequantizes to bf16 on-chip (weight-only; activations stay
+        bf16)."""
         self.image_size = image_size
         self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
         self._tracker = ByteTracker()
+        if quantize is None and os.environ.get("CUAUV_YOLO_INT8", "") == "1":
+            quantize = "int8"
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
+        self.quantize = quantize
 
         if weight_path and os.path.exists(weight_path):
             self.model, self.variables, meta = load_checkpoint(weight_path)
@@ -83,19 +121,47 @@ class YoloModel:
         reg_max = model.reg_max
         half = self.half_precision
 
+        # inference-time parameter store: int8+scales when quantized
+        if self.quantize == "int8":
+            self._infer_vars = quantize_weights_int8(self.variables)
+        else:
+            self._infer_vars = self.variables
+
+        def prep_vars(variables):
+            """Materialize apply()-ready params from the inference store:
+            dequantize int8 kernels to bf16 (fused into each conv's weight
+            read by XLA), bf16-cast the rest when half_precision."""
+            if self.quantize == "int8":
+                qvars, scales = variables
+
+                def deq(q, s):
+                    if q.dtype == jnp.int8:
+                        return q.astype(jnp.bfloat16) * jnp.asarray(
+                            s, jnp.bfloat16
+                        )
+                    if half and jnp.issubdtype(q.dtype, jnp.floating):
+                        return q.astype(jnp.bfloat16)
+                    return q
+
+                return jax.tree.map(deq, qvars, scales)
+            if half:
+                return jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if jnp.issubdtype(p.dtype, jnp.floating)
+                    else p,
+                    variables,
+                )
+            return variables
+
+        self._prep_vars = prep_vars
+
         def forward(variables, image_u8):
             import jax.numpy as jnp
 
             x = preprocess(image_u8[None], self.image_size)
             if half:
                 x = x.astype(jnp.bfloat16)
-                variables = jax.tree.map(
-                    lambda p: p.astype(jnp.bfloat16)
-                    if jnp.issubdtype(p.dtype, jnp.floating)
-                    else p,
-                    variables,
-                )
-            outputs = model.apply(variables, x)
+            outputs = model.apply(prep_vars(variables), x)
             outputs = jax.tree.map(
                 lambda o: o.astype(jnp.float32), outputs
             )
@@ -118,7 +184,7 @@ class YoloModel:
         """Traced-friendly forward+decode (image may be a tracer inside an
         outer jit, e.g. a module's @device_fn chain). Returns the raw
         fixed-shape decode dict of device arrays."""
-        return self._forward(self.variables, image)
+        return self._forward(self._infer_vars, image)
 
     def device_decode_multi(self, images) -> Dict:
         """Multi-camera batched forward: letterbox each frame (shapes are
@@ -136,15 +202,9 @@ class YoloModel:
         xs = jnp.concatenate(
             [preprocess(im[None], self.image_size) for im in images], axis=0
         )
-        variables = self.variables
         if self.half_precision:
             xs = xs.astype(jnp.bfloat16)
-            variables = jax.tree.map(
-                lambda p: p.astype(jnp.bfloat16)
-                if jnp.issubdtype(p.dtype, jnp.floating)
-                else p,
-                variables,
-            )
+        variables = self._prep_vars(self._infer_vars)
 
         def one(x):
             outputs = self.model.apply(variables, x[None])

@@ -551,3 +551,46 @@ def test_load_pt_ultralytics_fixture_with_dfl_and_strictness(tmp_path):
                 "names": {0: "a", 1: "b", 2: "c"}}, bad)
     with pytest.warns(RuntimeWarning, match="obb_partial.pt"):
         load_checkpoint(str(bad))
+
+
+def test_int8_weight_only_quantization_parity():
+    """Weight-only int8 (predictor.quantize_weights_int8): dequantized
+    kernels stay within half a quantization step of the originals, and the
+    quantized forward's detections match the bf16 forward's on the same
+    image (same valid set, boxes within a few pixels)."""
+    import jax
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import (
+        quantize_weights_int8,
+    )
+
+    base = YoloModel(None, task="obb", image_size=160, max_det=8,
+                     conf_thresh=0.0)
+    qvars, scales = quantize_weights_int8(base.variables)
+
+    # per-leaf quantization error bound: |w - q*s| <= s/2
+    flat_q = jax.tree.leaves(qvars)
+    flat_s = jax.tree.leaves(scales)
+    flat_w = jax.tree.leaves(base.variables)
+    checked = 0
+    for q, s, w in zip(flat_q, flat_s, flat_w):
+        if np.asarray(q).dtype == np.int8:
+            err = np.abs(np.asarray(q, np.float32) * s - np.asarray(w))
+            assert (err <= s / 2 + 1e-7).all()
+            checked += 1
+    assert checked > 10  # the conv stack actually got quantized
+
+    quant = YoloModel(None, task="obb", image_size=160, max_det=8,
+                      conf_thresh=0.0, quantize="int8")
+    quant.variables = base.variables
+    quant._infer_vars = quantize_weights_int8(base.variables)
+
+    img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
+    ref = {k: np.asarray(v) for k, v in base.device_decode(img).items()}
+    out = {k: np.asarray(v) for k, v in quant.device_decode(img).items()}
+    # top-score detection agrees to within a few pixels
+    ri = int(np.argmax(np.where(ref["valid"], ref["score"], -1)))
+    qi = int(np.argmax(np.where(out["valid"], out["score"], -1)))
+    assert ref["valid"][ri] and out["valid"][qi]
+    assert np.abs(ref["xyxy"][ri] - out["xyxy"][qi]).max() < 8.0
+    assert abs(float(ref["score"][ri]) - float(out["score"][qi])) < 0.15
+    assert int(ref["cls"][ri]) == int(out["cls"][qi])
