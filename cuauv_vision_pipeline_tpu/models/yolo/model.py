@@ -14,6 +14,7 @@ decode.py's fused decode+NMS into a single device graph.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -239,6 +240,54 @@ def letterbox_params(
     nh, nw = round(h * scale), round(w * scale)
     dh, dw = (image_size - nh) / 2, (image_size - nw) / 2
     return scale, round(dw - 0.1), round(dh - 0.1), nh, nw
+
+
+@functools.lru_cache(maxsize=16)
+def _interp_matrix(out_n: int, in_n: int, scale: float = 1.0) -> np.ndarray:
+    """Dense 1-D bilinear interpolation matrix (cv2 pixel-center
+    alignment: src = (dst+0.5)*in/out - 0.5), optionally pre-scaled —
+    the building block of the matmul-form letterbox below."""
+    f = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+    i0 = np.clip(np.floor(f), 0, in_n - 1).astype(np.int64)
+    i1 = np.clip(i0 + 1, 0, in_n - 1)
+    w = np.clip(f - i0, 0.0, 1.0).astype(np.float32)
+    M = np.zeros((out_n, in_n), np.float32)
+    np.add.at(M, (np.arange(out_n), i0), (1.0 - w) * scale)
+    np.add.at(M, (np.arange(out_n), i1), w * scale)
+    return M
+
+
+def preprocess_fused(
+    image_u8: jnp.ndarray, image_size: int = 640
+) -> jnp.ndarray:
+    """MXU-form letterbox: the whole u8->f32 + bilinear resize + round +
+    /255 preamble as two constant-matrix matmuls (rows then columns) plus
+    a fused epilogue, so the interpolation runs on the systolic array
+    instead of 4 HBM gathers + vector lerps. Matches :func:`preprocess`
+    exactly at the u8 level (the cv2-style floor(x+0.5) re-quantization
+    after resize makes the ~1e-7 association differences vanish). Pad to
+    the square stays a cheap static pad."""
+    img = image_u8[..., ::-1]  # BGR -> RGB
+    h, w = img.shape[-3], img.shape[-2]
+    _, left, top, nh, nw = letterbox_params(h, w, image_size)
+    x = img.astype(jnp.float32)
+    if (nh, nw) != (h, w):
+        R = jnp.asarray(_interp_matrix(nh, h))
+        C = jnp.asarray(_interp_matrix(nw, w))
+        x = jnp.einsum("rh,...hwc->...rwc", R, x)  # MXU
+        x = jnp.einsum("qw,...rwc->...rqc", C, x)  # MXU
+        # cv2-parity u8 re-quantization (ops/transform.py resize tail)
+        x = jnp.clip(jnp.floor(x + 0.5), 0, 255) / 255.0
+    else:
+        x = x / 255.0
+    if (nh, nw) != (image_size, image_size):
+        pad = [(0, 0)] * (x.ndim - 3) + [
+            (top, image_size - nh - top),
+            (left, image_size - nw - left),
+            (0, 0),
+        ]
+        x = jnp.pad(x, pad, constant_values=np.float32(114.0 / 255.0))
+    return x
 
 
 def preprocess(image_u8: jnp.ndarray, image_size: int = 640) -> jnp.ndarray:

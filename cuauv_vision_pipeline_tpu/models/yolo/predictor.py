@@ -20,9 +20,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from .decode import decode, summarize
-from .model import YOLO, create_model, letterbox_params, preprocess
+from .model import (
+    YOLO,
+    create_model,
+    letterbox_params,
+    preprocess,
+    preprocess_fused,
+)
 from .tracker import ByteTracker
 from .weights import load_checkpoint
+
+# The MXU matmul-form letterbox is the default preamble (matches the
+# gather path at the u8 level — tests/test_yolo.py); set
+# CUAUV_YOLO_FUSED_PREPROCESS=0 to fall back to the gather form.
+_PREPROCESS = (
+    preprocess
+    if os.environ.get("CUAUV_YOLO_FUSED_PREPROCESS", "1") == "0"
+    else preprocess_fused
+)
 
 DEFAULT_CLASS_NAMES = [
     "torpedo_board", "shark_hole", "saw_hole",
@@ -158,7 +173,7 @@ class YoloModel:
         def forward(variables, image_u8):
             import jax.numpy as jnp
 
-            x = preprocess(image_u8[None], self.image_size)
+            x = _PREPROCESS(image_u8[None], self.image_size)
             if half:
                 x = x.astype(jnp.bfloat16)
             outputs = model.apply(prep_vars(variables), x)
@@ -197,10 +212,9 @@ class YoloModel:
         import jax.numpy as jnp
 
         from .decode import decode
-        from .model import preprocess
 
         xs = jnp.concatenate(
-            [preprocess(im[None], self.image_size) for im in images], axis=0
+            [_PREPROCESS(im[None], self.image_size) for im in images], axis=0
         )
         if self.half_precision:
             xs = xs.astype(jnp.bfloat16)

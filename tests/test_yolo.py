@@ -594,3 +594,28 @@ def test_int8_weight_only_quantization_parity():
     assert np.abs(ref["xyxy"][ri] - out["xyxy"][qi]).max() < 8.0
     assert abs(float(ref["score"][ri]) - float(out["score"][qi])) < 0.15
     assert int(ref["cls"][ri]) == int(out["cls"][qi])
+
+
+def test_fused_letterbox_preamble_matches_preprocess():
+    """preprocess_fused (MXU matmul-form letterbox, models/yolo/model.py)
+    matches the gather-based preprocess at the u8 level: identical except
+    for at most one u8 step on rare pixels whose resize sum lands exactly
+    on a .5 rounding boundary (reassociated float accumulation)."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.models.yolo.model import (
+        preprocess,
+        preprocess_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    for shape in [(720, 1280, 3), (600, 800, 3), (640, 640, 3),
+                  (2, 123, 457, 3)]:
+        img = rng.integers(0, 255, shape, np.uint8)
+        a = np.asarray(jax.jit(preprocess, static_argnums=1)(img, 640))
+        b = np.asarray(jax.jit(preprocess_fused, static_argnums=1)(img, 640))
+        assert a.shape == b.shape
+        d = np.abs(a - b)
+        assert d.max() <= 1.0 / 255.0 + 1e-6  # at most one u8 step
+        frac = float((d > 1e-6).mean())
+        assert frac < 1e-3, f"{shape}: {frac:.2e} of pixels differ"
