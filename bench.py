@@ -105,18 +105,24 @@ def _preexec() -> None:
 
 
 def spawn(argv: list, tag: str, env: dict = None) -> subprocess.Popen:
+    import warnings
+
     logf = open(f"/tmp/bench_{tag}.log", "wb")
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
-    return subprocess.Popen(
-        [sys.executable, "-m"] + argv,
-        stdout=logf,
-        stderr=subprocess.STDOUT,
-        preexec_fn=_preexec,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        env=full_env,
-    )
+    # fork+exec is safe with JAX threads (child execs immediately);
+    # silence only JAX's at-fork warning for this call
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message=r"os\.fork\(\) was called")
+        return subprocess.Popen(
+            [sys.executable, "-m"] + argv,
+            stdout=logf,
+            stderr=subprocess.STDOUT,
+            preexec_fn=_preexec,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=full_env,
+        )
 
 
 def stop(*procs: subprocess.Popen) -> None:
@@ -574,12 +580,16 @@ def _bus_roundtrip_once(label: str, h: int, w: int) -> None:
         "        acc.write_frame(int(time.monotonic()*1000), frame)\n"
         "        time.sleep(1/60)\n"
     )
-    proc = subprocess.Popen(
-        [sys.executable, "-c", writer_code],
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.STDOUT,
-        preexec_fn=_preexec,
-    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message=r"os\.fork\(\) was called")
+        proc = subprocess.Popen(
+            [sys.executable, "-c", writer_code],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.STDOUT,
+            preexec_fn=_preexec,
+        )
     lats = []
     try:
         reader = BlockAccessor(direction)

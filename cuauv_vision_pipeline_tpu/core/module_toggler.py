@@ -107,12 +107,24 @@ class ModuleToggler:
         log_file.write(f"Starting {' '.join(argv)} at {stamp}\n")
         log_file.flush()
         try:
-            process = subprocess.Popen(
-                argv,
-                stdout=log_file,
-                stderr=subprocess.STDOUT,
-                preexec_fn=os.setsid,
-            )
+            # fork+exec is safe in a JAX-threaded process (the child execs
+            # immediately; no Python runs between fork and exec), but
+            # JAX's at-fork hook can't know that — silence just its
+            # warning for this call. start_new_session replaces the old
+            # preexec_fn=os.setsid (same process-group semantics, no
+            # unsafe Python in the forked child).
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message=r"os\.fork\(\) was called"
+                )
+                process = subprocess.Popen(
+                    argv,
+                    stdout=log_file,
+                    stderr=subprocess.STDOUT,
+                    start_new_session=True,
+                )
         except OSError as e:
             print(f"[ERROR] Failed to start {module} {source}: {e}")
             return False

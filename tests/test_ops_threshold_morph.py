@@ -192,7 +192,17 @@ def test_gaussian_blur_u8_large_kernel():
     # ksize >= 11: cv2 builds kernels with its private softdouble exp and
     # filters in fixed point (build-dependent: IPP/HAL); we follow the
     # getGaussianKernel formula in f32. Pin the measured deviation bounds.
-    for ksize, tol in [(11, 1), (15, 1), (101, 2)]:
+    for ksize, tol in [(11, 1)]:
+        got = np.asarray(X.gaussian_blur(GRAY, ksize))
+        ref_gb = cv2.GaussianBlur(GRAY, (ksize, ksize), 0)
+        d = np.abs(got.astype(int) - ref_gb.astype(int))
+        assert d.max() <= tol, f"ksize={ksize}: max|d|={d.max()}"
+        assert (d != 0).mean() < 0.25, f"ksize={ksize}: {(d != 0).mean():.1%}"
+
+
+@pytest.mark.slow
+def test_gaussian_blur_u8_large_kernel_matrix():
+    for ksize, tol in [(15, 1), (101, 2)]:
         got = np.asarray(X.gaussian_blur(GRAY, ksize))
         ref_gb = cv2.GaussianBlur(GRAY, (ksize, ksize), 0)
         d = np.abs(got.astype(int) - ref_gb.astype(int))

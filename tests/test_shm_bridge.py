@@ -27,13 +27,13 @@ def test_bridge_mirrors_group_updates(unique_direction):
     pub = threading.Thread(
         target=shm_bridge.publish,
         args=(endpoint, [name], False),
-        kwargs={"duration_s": 12.0},
+        kwargs={"duration_s": 5.0},
         daemon=True,
     )
     sub = threading.Thread(
         target=shm_bridge.subscribe,
         args=(f"tcp://127.0.0.1:{port}",),
-        kwargs={"prefix": "mirror_", "duration_s": 12.0},
+        kwargs={"prefix": "mirror_", "duration_s": 5.0},
         daemon=True,
     )
     pub.start()

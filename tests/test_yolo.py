@@ -553,6 +553,7 @@ def test_load_pt_ultralytics_fixture_with_dfl_and_strictness(tmp_path):
         load_checkpoint(str(bad))
 
 
+@pytest.mark.slow
 def test_int8_weight_only_quantization_parity():
     """Weight-only int8 (predictor.quantize_weights_int8): dequantized
     kernels stay within half a quantization step of the originals, and the
