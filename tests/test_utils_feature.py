@@ -115,12 +115,13 @@ def test_fit_ellipse_close_to_cv2():
 def test_canny_bit_exact_vs_cv2():
     # one L1 + one L2 threshold set in the fast loop (each (lo,hi,l2) is a
     # separate jit compile); the full matrix runs under -m slow below
-    # ONE image in the fast loop (the noise image re-runs the same two
-    # compiled graphs but the CCL hysteresis sweep itself is seconds on
-    # CPU); the full image x threshold matrix runs under -m slow below
+    # ONE image x ONE threshold set in the fast loop — the CCL hysteresis
+    # sweep EXECUTES in seconds per run on the CPU backend; the full
+    # image x threshold matrix (incl. L2 and inverted thresholds) runs
+    # under -m slow below
     img = _blobs(5, thresh=120)
     for mat in (img,):
-        for lo, hi, l2 in ((50, 150, False), (30, 90, True)):
+        for lo, hi, l2 in ((50, 150, False),):
             ref = cv2.Canny(mat, lo, hi, L2gradient=l2)
             got = np.asarray(F.canny(mat, lo, hi, l2_gradient=l2))
             n = int((ref != got).sum())
