@@ -15,6 +15,8 @@ the topmost-leftmost boundary pixel.
 
 from __future__ import annotations
 
+import ctypes
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -31,14 +33,92 @@ _MOORE = np.array(
 )
 
 
-def _trace_boundary(fg: np.ndarray, start: Tuple[int, int]) -> np.ndarray:
-    """Moore-neighbor boundary tracing (Jacob's stopping criterion) from the
-    topmost-leftmost pixel of a component. fg is a padded bool array."""
+_NATIVE_SENTINEL = object()
+_native_trace = _NATIVE_SENTINEL  # lazily resolved; None = unavailable
+
+
+def _load_native_tracer():
+    """ctypes handle to vp_trace_boundary in libframebus.so, or None.
+
+    The native tracer is a 1:1 twin of the Python loop below (~10 ns vs
+    ~10 us per boundary pixel); parity is pinned by
+    tests/test_utils_feature.py::test_native_tracer_matches_python.
+    Set CUAUV_NATIVE_TRACE=0 to force the Python path.
+    """
+    global _native_trace
+    if _native_trace is not _NATIVE_SENTINEL:
+        return _native_trace
+    _native_trace = None
+    if os.environ.get("CUAUV_NATIVE_TRACE", "1") != "0":
+        try:
+            from .. import native as _native_pkg
+
+            lib = ctypes.CDLL(_native_pkg.library_path())
+            fn = lib.vp_trace_boundary
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p,  # fg (uint8, padded, C-contiguous)
+                ctypes.c_int64,  # H
+                ctypes.c_int64,  # W
+                ctypes.c_int64,  # sy
+                ctypes.c_int64,  # sx
+                ctypes.c_int64,  # start_dir (Moore index of a bg neighbor)
+                ctypes.c_void_p,  # out_xy (int32 pairs)
+                ctypes.c_int64,  # max_pts
+            ]
+            _native_trace = fn
+        except Exception:
+            _native_trace = None
+    return _native_trace
+
+
+class _NativeTraceSession:
+    """Per-find_contours native tracing state: cached data pointers and one
+    reusable output buffer (grown once to the tracer's worst-case step budget
+    if a contour overflows). trace() returns a VIEW into the buffer — callers
+    must materialize (the ``- 1`` un-pad copy does) before the next trace()."""
+
+    __slots__ = ("_fn", "_H", "_W", "_fg_ptr", "_buf", "_buf_ptr", "_fg_u8")
+
+    def __init__(self, fn, fg: np.ndarray):
+        self._fn = fn
+        self._fg_u8 = np.ascontiguousarray(fg, dtype=np.uint8)
+        self._H, self._W = self._fg_u8.shape
+        self._fg_ptr = self._fg_u8.ctypes.data
+        self._buf = np.empty((1 << 16, 2), dtype=np.int32)
+        self._buf_ptr = self._buf.ctypes.data
+
+    def trace(self, sy: int, sx: int, start_dir: int = 0) -> np.ndarray:
+        n = self._fn(
+            self._fg_ptr, self._H, self._W, sy, sx, start_dir,
+            self._buf_ptr, len(self._buf),
+        )
+        if n < 0:  # contour longer than the buffer: grow to the step budget
+            # worst case emits the start point + one point per budget step
+            self._buf = np.empty((4 * self._H * self._W + 2, 2), dtype=np.int32)
+            self._buf_ptr = self._buf.ctypes.data
+            n = self._fn(
+                self._fg_ptr, self._H, self._W, sy, sx, start_dir,
+                self._buf_ptr, len(self._buf),
+            )
+        assert n >= 0, "native tracer overflowed its worst-case buffer"
+        return self._buf[:n].reshape(-1, 1, 2)
+
+
+def _trace_boundary(
+    fg: np.ndarray, start: Tuple[int, int], prev_dir: int = 0
+) -> np.ndarray:
+    """Moore-neighbor boundary tracing (Jacob's stopping criterion). fg is a
+    padded bool array.
+
+    prev_dir is the _MOORE index of a KNOWN-bg neighbor of the start pixel —
+    0 (west) for outer boundaries started at a component's topmost-leftmost
+    pixel; 2 (south) for hole boundaries started at the fg pixel just above a
+    hole's topmost-leftmost pixel (the hole pixel itself is the bg anchor; a
+    wrong anchor breaks Jacob's criterion and the trace runs its full step
+    budget)."""
     sy, sx = start
     contour = [(sx, sy)]
-    # backtrack starts pointing west of the start pixel (it is bg: the start
-    # is the leftmost pixel of the top row of the component)
-    prev_dir = 0  # index into _MOORE of the bg neighbor we came from (west)
     cy, cx = sy, sx
     first_move: Optional[Tuple[int, int, int]] = None
 
@@ -99,74 +179,103 @@ def find_contours(
     H, W = fg.shape
 
     # Outer boundary starts: fg pixel whose west neighbor is bg and which is
-    # the first (raster order) pixel of a not-yet-traced component.
-    component = _label_components(fg)
+    # the first (raster order) pixel of a not-yet-traced component. Run
+    # starts from the labeler ARE exactly those pixels, in raster order — no
+    # separate argwhere pass over the image, and no label raster needed.
+    runs = _component_runs(fg)
     seen_components = set()
-    starts = np.argwhere(fg & ~np.roll(fg, 1, axis=1))
-    for sy, sx in starts:
-        comp = component[sy, sx]
+    fn = _load_native_tracer()
+    session = _NativeTraceSession(fn, fg) if fn is not None else None
+    for sy, sx, _e, comp in runs:
         if comp in seen_components:
             continue
         seen_components.add(comp)
-        contour = _trace_boundary(fg, (sy, sx))
-        contours.append(contour - 1)  # un-pad
+        if session is not None:
+            contour = session.trace(sy, sx)
+        else:
+            contour = _trace_boundary(fg, (sy, sx))
+        contours.append(contour - 1)  # un-pad (copies out of the session buffer)
 
     if not external_only:
-        contours.extend(_hole_contours(fg, component))
+        contours.extend(_hole_contours(fg))
     # cv2 returns contours bottom-to-top of the image in modern versions;
     # keep raster order of discovery (top-to-bottom) — callers in the
     # reference never rely on list order beyond max()/filters.
     return contours
 
 
-def _hole_contours(fg: np.ndarray, component: np.ndarray) -> List[np.ndarray]:
-    """Boundaries of holes (bg regions not connected to the border)."""
+def _hole_contours(fg: np.ndarray) -> List[np.ndarray]:
+    """Boundaries of holes (bg regions not connected to the border).
+
+    A hole is a 4-connected bg component (cv2's hole connectivity) whose runs
+    never touch the image border — found from the run labeler directly, no
+    iterative flood fill. Hole dedup for *tracing* then uses 8-connected
+    labeling of the hole mask (diagonal-touching holes share a surrounding
+    boundary and are traced once), preserving the original semantics."""
     bg = ~fg
-    # flood from border over bg (4-connectivity like cv2's hole definition)
-    outside = np.zeros_like(bg)
-    outside[0, :] = bg[0, :]
-    outside[-1, :] = bg[-1, :]
-    outside[:, 0] = bg[:, 0]
-    outside[:, -1] = bg[:, -1]
-    changed = True
-    while changed:
-        grown = outside.copy()
-        grown[1:, :] |= outside[:-1, :]
-        grown[:-1, :] |= outside[1:, :]
-        grown[:, 1:] |= outside[:, :-1]
-        grown[:, :-1] |= outside[:, 1:]
-        grown &= bg
-        changed = bool((grown != outside).any())
-        outside = grown
-    holes = bg & ~outside
-    if not holes.any():
+    H, W = fg.shape
+    bg_runs = _component_runs(bg, connectivity=4)
+    border_roots = {
+        root
+        for y, s, e, root in bg_runs
+        if y == 0 or y == H - 1 or s == 0 or e == W
+    }
+    hole_runs = [r for r in bg_runs if r[3] not in border_roots]
+    if not hole_runs:
         return []
+    holes = np.zeros_like(bg)
+    for y, s, e, _root in hole_runs:
+        holes[y, s:e] = True
     # trace the fg boundary around each hole: start at the pixel just above
-    # each hole's first pixel
-    comp_holes = _label_components(holes)
+    # each hole's first pixel (raster order)
     out: List[np.ndarray] = []
     seen = set()
-    ys, xs = np.nonzero(holes)
-    for y, x in zip(ys, xs):
-        c = comp_holes[y, x]
+    fn = _load_native_tracer()
+    session = _NativeTraceSession(fn, fg) if fn is not None else None
+    for y, x, _e, c in _component_runs(holes, connectivity=8):
         if c in seen:
             continue
         seen.add(c)
-        contour = _trace_boundary(fg, (y - 1, x))
+        if session is not None:
+            contour = session.trace(y - 1, x, start_dir=2)  # bg anchor: the hole
+        else:
+            contour = _trace_boundary(fg, (y - 1, x), prev_dir=2)
         out.append(contour - 1)
     return out
 
 
 def _label_components(fg: np.ndarray) -> np.ndarray:
-    """Host-side 8-connected labeling: run-length union-find.
+    """Host-side 8-connected labeling: run-length union-find (see _label_core)."""
+    return _label_core(fg, want_labels=True)[0]
+
+
+def _component_runs(
+    fg: np.ndarray, connectivity: int = 8
+) -> List[Tuple[int, int, int, int]]:
+    """Foreground runs with resolved component roots, raster order.
+
+    Returns ``(y, start, end, root)`` per run — the first run of each root is
+    the component's topmost-leftmost pixel (a Moore trace start), so callers
+    get trace starts without any full-image argwhere pass."""
+    return _label_core(fg, want_labels=False, connectivity=connectivity)[1]
+
+
+def _label_core(
+    fg: np.ndarray, want_labels: bool, connectivity: int = 8
+) -> Tuple[Optional[np.ndarray], List[Tuple[int, int, int, int]]]:
+    """Run-length union-find labeling.
 
     Python work is O(row runs), not O(pixels) — each row's foreground runs
     come from one vectorized diff, and only run-to-run overlaps (dilated by
     1 for 8-connectivity) touch the union-find. A 720p mask with a handful
     of blobs labels in ~0.5 ms where the old per-pixel loop took ~220 ms
-    (it dominated the bins module's host leg)."""
+    (it dominated the bins module's host leg).
+
+    want_labels=False skips the raster writes and the final full-image remap
+    gather and returns only the run list (find_contours' path: it needs trace
+    starts and dedup roots, never the label image)."""
     H, W = fg.shape
-    labels = np.zeros((H, W), dtype=np.int32)
+    labels = np.zeros((H, W), dtype=np.int32) if want_labels else None
     parent = [0]
 
     def find(a: int) -> int:
@@ -180,20 +289,30 @@ def _label_components(fg: np.ndarray) -> np.ndarray:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    # run extraction for ALL rows in two vectorized passes: diff a
+    # run extraction for ALL rows in one vectorized pass: diff a
     # zero-bordered int8 view; +1/-1 transitions are run starts/ends
     bordered = np.zeros((H, W + 2), np.int8)
     bordered[:, 1:-1] = fg.view(np.int8)
     d = np.diff(bordered, axis=1)
-    sy, sx = np.nonzero(d == 1)  # run starts at column sx
-    _, ex = np.nonzero(d == -1)  # matching run ends (same order, row-major)
+    ty, tx = np.nonzero(d)  # all transitions, row-major: starts/ends alternate
+    rising = d[ty, tx] == 1
+    sy = ty[rising]
+    sx = tx[rising]
+    ex = tx[~rising]  # matching run ends (same order, row-major)
     # per-row slice bounds into the flat run arrays
     row_first = np.searchsorted(sy, np.arange(H + 1))
     sx_l = sx.tolist()
     ex_l = ex.tolist()
 
+    # prev-run overlap test, two-pointer form: store (ps - pad, pe, lab),
+    # accept while stored_start < e, skip while pe < s + (1 - pad). pad=1
+    # gives the 8-connectivity dilated overlap (ps <= e and pe >= s); pad=0
+    # gives strict column overlap (ps < e and pe > s) = 4-connectivity.
+    pad = 1 if connectivity == 8 else 0
+    skip_off = 1 - pad
+    all_runs: List[Tuple[int, int, int, int]] = []  # (y, s, e, lab-at-creation)
     next_label = 1
-    prev_runs: list = []  # (start-1, end, label) of the row above
+    prev_runs: list = []  # (start-pad, end, label) of the row above
     prev_y = -2
     for y in range(H):
         lo, hi = row_first[y], row_first[y + 1]
@@ -206,9 +325,7 @@ def _label_components(fg: np.ndarray) -> np.ndarray:
         j = 0  # two-pointer sweep over prev_runs (both lists are sorted)
         for s, e in zip(sx_l[lo:hi], ex_l[lo:hi]):
             lab = 0
-            # prev run [ps, pe) touches current [s, e) under 8-conn iff
-            # ps <= e and pe >= s; prev entries store (ps-1, pe, label)
-            while j < len(prev_runs) and prev_runs[j][1] < s:
+            while j < len(prev_runs) and prev_runs[j][1] < s + skip_off:
                 j += 1
             k = j
             while k < len(prev_runs) and prev_runs[k][0] < e:
@@ -222,13 +339,16 @@ def _label_components(fg: np.ndarray) -> np.ndarray:
                 lab = next_label
                 parent.append(next_label)
                 next_label += 1
-            labels[y, s:e] = lab
-            runs.append((s - 1, e, lab))
+            if want_labels:
+                labels[y, s:e] = lab
+            all_runs.append((y, s, e, lab))
+            runs.append((s - pad, e, lab))
         prev_runs = runs
-    if next_label > 1:
+    out_runs = [(y, s, e, find(lab)) for y, s, e, lab in all_runs]
+    if want_labels and next_label > 1:
         remap = np.array([find(i) for i in range(next_label)], dtype=np.int32)
         labels = remap[labels]
-    return labels
+    return labels, out_runs
 
 
 # ---------------------------------------------------------------------------

@@ -190,3 +190,55 @@ def test_approx_poly_reduces_rectangle():
     contour = F.outer_contours(mask)[0]
     approx = F.contour_approx(contour, epsilon_ratio=0.02)
     assert 4 <= len(approx) <= 6  # near-rectangle
+
+
+def _blobby_hole_mask(seed, H=120, W=160, salt=0.01):
+    """Ellipse blobs with punched holes plus salt noise — adversarial for
+    boundary tracing (thin bits, singletons, holes near edges)."""
+    r = np.random.default_rng(seed)
+    m = np.zeros((H, W), np.uint8)
+    yy, xx = np.ogrid[:H, :W]
+    for _ in range(12):
+        cy, cx = r.integers(0, H), r.integers(0, W)
+        ry, rx = r.integers(3, 25), r.integers(3, 25)
+        m |= (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1).astype(np.uint8)
+    for _ in range(6):
+        cy, cx = r.integers(0, H), r.integers(0, W)
+        ry, rx = r.integers(1, 6), r.integers(1, 6)
+        m &= ~(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1)
+    m |= (r.random((H, W)) < salt).astype(np.uint8)
+    return m
+
+
+@pytest.mark.parametrize("seed", [0, 4, 8])
+def test_native_tracer_matches_python(seed, monkeypatch):
+    """The native Moore tracer (libframebus vp_trace_boundary) must produce
+    bit-identical contours to the Python reference loop, outer AND holes."""
+    if CT._load_native_tracer() is None:
+        pytest.skip("native tracer unavailable")
+    mask = _blobby_hole_mask(seed)
+
+    monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
+    CT._native_trace = CT._NATIVE_SENTINEL
+    native = CT.find_contours(mask, external_only=False)
+    monkeypatch.setenv("CUAUV_NATIVE_TRACE", "0")
+    CT._native_trace = CT._NATIVE_SENTINEL
+    python = CT.find_contours(mask, external_only=False)
+    CT._native_trace = CT._NATIVE_SENTINEL  # re-resolve for later tests
+
+    assert len(native) == len(python)
+    for cn, cp in zip(native, python):
+        np.testing.assert_array_equal(cn, cp)
+
+
+@pytest.mark.parametrize("seed", [0, 4, 11])
+def test_hole_contour_point_sets_match_cv2_retr_list(seed):
+    """Inner (hole) boundaries match cv2.RETR_LIST point sets — pinned since
+    the hole traces anchor their backtrack at the hole pixel (start_dir=2);
+    a wrong anchor breaks Jacob's criterion and emits runaway contours."""
+    mask = _blobby_hole_mask(seed) * 255
+    ref = cv2.findContours(mask, cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE)[0]
+    got = CT.find_contours(mask, external_only=False)
+    ref_sets = {frozenset(map(tuple, c.reshape(-1, 2))) for c in ref}
+    got_sets = {frozenset(map(tuple, c.reshape(-1, 2))) for c in got}
+    assert got_sets == ref_sets
