@@ -185,6 +185,10 @@ def hough_lines_accumulator(
     return acc, thetas, rhos
 
 
+# creating the jit wrapper is free (no trace/compile until first call)
+_hough_acc_jit = jax.jit(hough_lines_accumulator, static_argnums=(1, 2))
+
+
 def find_lines(
     edges: np.ndarray,
     rho_res: float = 1.0,
@@ -194,7 +198,9 @@ def find_lines(
 ) -> np.ndarray:
     """cv2.HoughLines equivalent: returns [N, 2] (rho, theta) of peaks over
     `threshold`, strongest first (reference utils/feature.py find_lines)."""
-    acc, thetas, rhos = hough_lines_accumulator(edges, rho_res, theta_res)
+    # one fused jit for the accumulator (res args shape the output, so they
+    # are static); eager execution costs a per-op dispatch compile cascade
+    acc, thetas, rhos = _hough_acc_jit(edges, rho_res, theta_res)
     acc = np.asarray(acc)
     # local maxima over the 4-neighborhood like cv2
     padded = np.pad(acc, 1)
@@ -243,6 +249,9 @@ def min_eigenvalue_map(gray: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     return tr - det
 
 
+_min_eig_jit = jax.jit(min_eigenvalue_map, static_argnums=(1,))
+
+
 def find_corners(
     gray: np.ndarray,
     max_corners: int,
@@ -251,7 +260,7 @@ def find_corners(
 ) -> np.ndarray:
     """cv2.goodFeaturesToTrack equivalent (reference utils/feature.py:104-125).
     Returns [N, 1, 2] float32 (x, y) like cv2."""
-    resp = np.asarray(min_eigenvalue_map(jnp.asarray(gray)))
+    resp = np.asarray(_min_eig_jit(jnp.asarray(gray)))
     thresh = resp.max() * quality_thresh
     # 3x3 NMS
     padded = np.pad(resp, 1, constant_values=-np.inf)

@@ -32,11 +32,38 @@ def all_contours(mat: np.ndarray) -> List[np.ndarray]:
     return CT.find_contours(np.asarray(mat), external_only=False)
 
 
+_canny_jits: dict = {}
+
+
+def _canny_jit(lower: int, upper: int, l2_gradient: bool):
+    """One fused jit per threshold set (thresholds are trace-time constants
+    in ops/feature.canny). Running the graph eagerly instead costs hundreds
+    of per-op dispatch compiles on the first call (~3x the fused compile)."""
+    key = (lower, upper, l2_gradient)
+    fn = _canny_jits.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda m: F.canny(m, lower, upper, l2_gradient))
+        _canny_jits[key] = fn
+    return fn
+
+
 def canny(
     mat: np.ndarray, lower: int, upper: int, l2_gradient: bool = False
 ) -> np.ndarray:
     """Canny edges, bit-exact vs cv2.Canny (reference feature.py:43-67)."""
-    return np.asarray(F.canny(np.asarray(mat), lower, upper, l2_gradient))
+    return np.asarray(_canny_jit(lower, upper, l2_gradient)(np.asarray(mat)))
+
+
+def _sobel_jit():
+    fn = _canny_jits.get("sobel_f32")
+    if fn is None:
+        import jax
+
+        fn = jax.jit(F._sobel_3x3)
+        _canny_jits["sobel_f32"] = fn
+    return fn
 
 
 def simple_canny(
@@ -136,10 +163,10 @@ def find_circles(
     """Hough-gradient circle detection -> [1, N, 3] (x, y, r) like
     cv2.HoughCircles (reference feature.py find_circles)."""
     gray = np.asarray(mat)
-    edges = np.asarray(F.canny(gray, canny_thresh / 2, canny_thresh)) != 0
+    edges = np.asarray(_canny_jit(canny_thresh / 2, canny_thresh, False)(gray)) != 0
     import jax.numpy as jnp
 
-    gx, gy = F._sobel_3x3(jnp.asarray(gray, jnp.float32))
+    gx, gy = _sobel_jit()(jnp.asarray(gray, jnp.float32))
     gx = np.asarray(gx)
     gy = np.asarray(gy)
 

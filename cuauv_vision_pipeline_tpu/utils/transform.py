@@ -3,24 +3,39 @@
 Parity target: reference utils/transform.py — Gaussian blur, structuring
 elements, erode/dilate, the morphology compounds, resize/rotate/translate,
 and normal-map decoding. Thin wrappers over the bit-exact JAX ops.
+
+Each wrapper dispatches ONE cached jit per parameter set (kernel bytes,
+sizes, angles are trace-time constants of the underlying ops). Running the
+op graphs eagerly instead costs a per-op dispatch cascade — ~50 ms/op on a
+cold CPU backend and ~87 ms/op through a tunnel-attached TPU — which is the
+recurring host-path performance defect this repo swept in rounds 2-3
+(see ops/color_np.py and utils/feature._canny_jit).
 """
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Callable, Tuple, Union
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import morphology as M
 from ..ops import transform as X
+from ._jit import cached_jit as _cached_jit
+
+
+def _kernel_key(kernel: np.ndarray) -> tuple:
+    return (kernel.shape, kernel.tobytes())
 
 
 def simple_gaussian_blur(
     mat: np.ndarray, kernel_size: int, sigma: float = 0.0
 ) -> np.ndarray:
     """Gaussian blur (reference utils/transform.py:5-25)."""
-    return np.asarray(X.gaussian_blur(jnp.asarray(mat), kernel_size, sigma))
+    f = _cached_jit(
+        ("gauss", kernel_size, sigma),
+        lambda: (lambda m: X.gaussian_blur(m, kernel_size, sigma)),
+    )
+    return np.asarray(f(np.asarray(mat)))
 
 
 def rect_kernel(size: Union[int, Tuple[int, int]]) -> np.ndarray:
@@ -37,53 +52,81 @@ def cross_kernel(size: Union[int, Tuple[int, int]]) -> np.ndarray:
     return M.cross_kernel(size)
 
 
+def _morph_shim(name: str, op, mat, kernel, *extra) -> np.ndarray:
+    kernel = np.asarray(kernel)
+    f = _cached_jit(
+        (name, _kernel_key(kernel)) + extra,
+        lambda: (lambda m: op(m, kernel, *extra)),
+    )
+    return np.asarray(f(np.asarray(mat)))
+
+
 def erode(mat: np.ndarray, kernel: np.ndarray, iterations: int = 1) -> np.ndarray:
     """cv2.erode (reference transform.py:80-95)."""
-    return np.asarray(M.erode(jnp.asarray(mat), kernel, iterations))
+    return _morph_shim("erode", M.erode, mat, kernel, iterations)
 
 
 def dilate(mat: np.ndarray, kernel: np.ndarray, iterations: int = 1) -> np.ndarray:
     """cv2.dilate (reference transform.py:98-112)."""
-    return np.asarray(M.dilate(jnp.asarray(mat), kernel, iterations))
+    return _morph_shim("dilate", M.dilate, mat, kernel, iterations)
 
 
 def morph_remove_noise(mat: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     """MORPH_OPEN (reference transform.py:115-130)."""
-    return np.asarray(M.open_morph(jnp.asarray(mat), kernel))
+    return _morph_shim("open", M.open_morph, mat, kernel)
 
 
 def morph_close_holes(mat: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     """MORPH_CLOSE (reference transform.py:133-147)."""
-    return np.asarray(M.close_morph(jnp.asarray(mat), kernel))
+    return _morph_shim("close", M.close_morph, mat, kernel)
 
 
 def morph_borders(mat: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     """MORPH_GRADIENT (reference transform.py:150-164)."""
-    return np.asarray(M.gradient(jnp.asarray(mat), kernel))
+    return _morph_shim("gradient", M.gradient, mat, kernel)
 
 
 def resize(
     mat: np.ndarray, dsize: Tuple[int, int], interpolation: str = "linear"
 ) -> np.ndarray:
     """cv2.resize, dsize = (width, height) (reference transform.py:167-183)."""
-    return np.asarray(X.resize(jnp.asarray(mat), dsize, interpolation))
+    dsize = tuple(int(v) for v in dsize)
+    f = _cached_jit(
+        ("resize", dsize, interpolation),
+        lambda: (lambda m: X.resize(m, dsize, interpolation)),
+    )
+    return np.asarray(f(np.asarray(mat)))
+
+
+def _warp_jit():
+    # ONE jit for all rotate/translate calls: the 2x3 affine matrix is traced
+    # DATA, so tuner-driven angles/offsets never trigger a recompile
+    return _cached_jit(("warp",), lambda: (lambda m, M: X.warp_affine(m, M)))
 
 
 def rotate(mat: np.ndarray, angle_deg: float) -> np.ndarray:
     """Rotate about the center (reference transform.py:186-200)."""
-    return np.asarray(X.rotate(jnp.asarray(mat), angle_deg))
+    mat = np.asarray(mat)
+    chan_last = mat.ndim >= 3
+    h = mat.shape[-3] if chan_last else mat.shape[-2]
+    w = mat.shape[-2] if chan_last else mat.shape[-1]
+    M = X.rotation_matrix((w / 2.0, h / 2.0), angle_deg)
+    return np.asarray(_warp_jit()(mat, M))
 
 
 def translate(mat: np.ndarray, dx: float, dy: float) -> np.ndarray:
     """Translate (reference transform.py:203-216)."""
-    return np.asarray(X.translate(jnp.asarray(mat), dx, dy))
+    M = np.array([[1.0, 0.0, dx], [0.0, 1.0, dy]], dtype=np.float32)
+    return np.asarray(_warp_jit()(np.asarray(mat), M))
 
 
 def decode_normal(mat: np.ndarray) -> np.ndarray:
     """u8 normal map -> float [-1, 1] (reference transform.py:218-233)."""
-    return np.asarray(X.decode_normal(jnp.asarray(mat)))
+    return np.asarray(_cached_jit(("dec_n",), lambda: X.decode_normal)(np.asarray(mat)))
 
 
 def encode_normal(normals: np.ndarray) -> np.ndarray:
     """float [-1, 1] normals -> u8."""
-    return np.asarray(X.encode_normal(jnp.asarray(normals)))
+    return np.asarray(
+        _cached_jit(("enc_n",), lambda: X.encode_normal)(np.asarray(normals))
+    )
