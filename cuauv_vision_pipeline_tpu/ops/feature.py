@@ -83,10 +83,15 @@ def canny(
     candidate mask (ops/ccl.propagate_min) with pointer-jumping, converging
     in O(log diameter) passes on device. u8 grayscale in, u8 {0,255} out.
     """
-    from .ccl import propagate_min
+    low, high = canny_prep_thresholds(lower, upper, l2_gradient)
+    return canny_core(image, low, high, l2_gradient, hysteresis_iters)
 
-    # threshold prep, host-side (cv2 canny.cpp: swap, L2 squares + clamps,
-    # then cvFloor to int)
+
+def canny_prep_thresholds(
+    lower: float, upper: float, l2_gradient: bool
+) -> Tuple[int, int]:
+    """cv2's host-side threshold prep (canny.cpp): swap, L2 squares +
+    clamps, then cvFloor to int."""
     lo, hi = float(lower), float(upper)
     if lo > hi:
         lo, hi = hi, lo
@@ -96,7 +101,21 @@ def canny(
             lo *= lo
         if hi > 0:
             hi *= hi
-    low, high = int(math.floor(lo)), int(math.floor(hi))
+    return int(math.floor(lo)), int(math.floor(hi))
+
+
+def canny_core(
+    image: jnp.ndarray,
+    low,
+    high,
+    l2_gradient: bool = False,
+    hysteresis_iters: int = 64,
+) -> jnp.ndarray:
+    """canny() after threshold prep. ``low``/``high`` may be TRACED int32
+    scalars — auto-threshold callers (simple_canny computes thresholds from
+    each frame's median) then reuse one compiled executable per (shape,
+    l2_gradient) instead of compiling per threshold value."""
+    from .ccl import propagate_min
 
     dx, dy = _sobel_3x3_int(image)
     if l2_gradient:

@@ -32,38 +32,33 @@ def all_contours(mat: np.ndarray) -> List[np.ndarray]:
     return CT.find_contours(np.asarray(mat), external_only=False)
 
 
-_canny_jits: dict = {}
+from ._jit import cached_jit as _cached_jit
 
 
-def _canny_jit(lower: int, upper: int, l2_gradient: bool):
-    """One fused jit per threshold set (thresholds are trace-time constants
-    in ops/feature.canny). Running the graph eagerly instead costs hundreds
-    of per-op dispatch compiles on the first call (~3x the fused compile)."""
-    key = (lower, upper, l2_gradient)
-    fn = _canny_jits.get(key)
-    if fn is None:
-        import jax
-
-        fn = jax.jit(lambda m: F.canny(m, lower, upper, l2_gradient))
-        _canny_jits[key] = fn
-    return fn
+def _canny_jit(l2_gradient: bool):
+    """ONE fused jit per l2 mode: thresholds enter as traced int32 scalars
+    (ops/feature.canny_core), so auto-threshold callers like simple_canny —
+    whose thresholds change with every frame's median — never recompile.
+    Running the graph eagerly instead costs hundreds of per-op dispatch
+    compiles on the first call (~3x the fused compile)."""
+    return _cached_jit(
+        ("canny", l2_gradient),
+        lambda: (lambda m, lo, hi: F.canny_core(m, lo, hi, l2_gradient)),
+    )
 
 
 def canny(
     mat: np.ndarray, lower: int, upper: int, l2_gradient: bool = False
 ) -> np.ndarray:
     """Canny edges, bit-exact vs cv2.Canny (reference feature.py:43-67)."""
-    return np.asarray(_canny_jit(lower, upper, l2_gradient)(np.asarray(mat)))
+    low, high = F.canny_prep_thresholds(lower, upper, l2_gradient)
+    return np.asarray(
+        _canny_jit(l2_gradient)(np.asarray(mat), np.int32(low), np.int32(high))
+    )
 
 
 def _sobel_jit():
-    fn = _canny_jits.get("sobel_f32")
-    if fn is None:
-        import jax
-
-        fn = jax.jit(F._sobel_3x3)
-        _canny_jits["sobel_f32"] = fn
-    return fn
+    return _cached_jit(("sobel_f32",), lambda: F._sobel_3x3)
 
 
 def simple_canny(
@@ -163,7 +158,7 @@ def find_circles(
     """Hough-gradient circle detection -> [1, N, 3] (x, y, r) like
     cv2.HoughCircles (reference feature.py find_circles)."""
     gray = np.asarray(mat)
-    edges = np.asarray(_canny_jit(canny_thresh / 2, canny_thresh, False)(gray)) != 0
+    edges = canny(gray, canny_thresh / 2, canny_thresh) != 0
     import jax.numpy as jnp
 
     gx, gy = _sobel_jit()(jnp.asarray(gray, jnp.float32))

@@ -39,17 +39,40 @@ def _distance_topk(query: jnp.ndarray, train: jnp.ndarray):
     return -neg, idx
 
 
+def _next_pow2(n: int, lo: int = 64) -> int:
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
+# Sentinel magnitude for padded descriptor/point rows: far beyond any real
+# SIFT descriptor (cv2 norms ~512, d2 <= ~1e6) yet safely inside f32 range
+# when squared and summed over 128 dims (~1.3e10).
+_PAD_VAL = 1.0e4
+
+
 def match_descriptors(
     query: np.ndarray, train: np.ndarray, ratio: float = 0.7
 ) -> List[Tuple[int, int, float]]:
-    """Lowe-ratio 2-NN matching -> [(query_idx, train_idx, distance)]."""
+    """Lowe-ratio 2-NN matching -> [(query_idx, train_idx, distance)].
+
+    Keypoint counts vary every frame; arrays are padded to power-of-2
+    buckets so the matmul jit compiles O(log N) times total, not once per
+    count (a per-frame recompile costs seconds on a remote-attached chip).
+    Padded train rows sit at distance ~1e10 and never enter the top-2;
+    padded query rows are sliced off before the ratio test."""
     if len(query) == 0 or len(train) < 2:
         return []
-    d2, idx = _distance_topk(
-        jnp.asarray(query, jnp.float32), jnp.asarray(train, jnp.float32)
-    )
-    d = np.sqrt(np.asarray(d2))
-    idx = np.asarray(idx)
+    nq, nt = len(query), len(train)
+    dim = query.shape[1]
+    q = np.zeros((_next_pow2(nq), dim), np.float32)
+    q[:nq] = query
+    t = np.full((_next_pow2(nt), dim), _PAD_VAL, np.float32)
+    t[:nt] = train
+    d2, idx = _distance_topk(q, t)
+    d = np.sqrt(np.asarray(d2)[:nq])
+    idx = np.asarray(idx)[:nq]
     good = d[:, 0] < ratio * d[:, 1]
     return [
         (int(i), int(idx[i, 0]), float(d[i, 0]))
@@ -102,26 +125,39 @@ def ransac_homography(
     if not candidates:
         return None, np.zeros(n, bool)
 
-    Hs = jnp.asarray(np.stack(candidates), jnp.float32)  # [C, 3, 3]
-    s = jnp.asarray(
-        np.concatenate([src, np.ones((n, 1))], axis=1), jnp.float32
-    )  # [N, 3]
-    d = jnp.asarray(dst, jnp.float32)
-
-    proj = jnp.einsum("cij,nj->cni", Hs, s)
-    w = jnp.where(jnp.abs(proj[..., 2]) < 1e-9, 1e-9, proj[..., 2])
-    uv = proj[..., :2] / w[..., None]
-    err = jnp.linalg.norm(uv - d[None], axis=-1)  # [C, N]
-    inliers = err < thresh
-    counts = jnp.sum(inliers, axis=1)
-    best = int(jnp.argmax(counts))
-    mask = np.asarray(inliers[best])
+    # ONE jitted consensus pass over padded fixed-shape buffers: candidates
+    # pad to `iters` by repeating the last real H (duplicates tie, argmax
+    # keeps the earliest), points pad to a power-of-2 bucket with dst=+1e9
+    # (never an inlier) — so the executable compiles O(log N) times total
+    # instead of per (candidate count, match count) pair.
+    Hs = np.stack(candidates).astype(np.float32)
+    if len(Hs) < iters:
+        Hs = np.concatenate([Hs, np.repeat(Hs[-1:], iters - len(Hs), axis=0)])
+    nb = _next_pow2(n)
+    s = np.ones((nb, 3), np.float32)
+    s[:n, :2] = src
+    d = np.full((nb, 2), 1.0e9, np.float32)
+    d[:n] = dst
+    mask = np.asarray(_ransac_score(Hs, s, d, np.float32(thresh)))[:n]
     if mask.sum() < 4:
         return None, mask
 
     # refit on all inliers (least squares DLT)
     H = _refit(src[mask], dst[mask])
     return H, mask
+
+
+@jax.jit
+def _ransac_score(Hs: jnp.ndarray, s: jnp.ndarray, d: jnp.ndarray, thresh):
+    """Score all RANSAC candidates over all points; return the best
+    candidate's inlier mask. thresh is traced (no recompile per value)."""
+    proj = jnp.einsum("cij,nj->cni", Hs, s)
+    w = jnp.where(jnp.abs(proj[..., 2]) < 1e-9, 1e-9, proj[..., 2])
+    uv = proj[..., :2] / w[..., None]
+    err = jnp.linalg.norm(uv - d[None], axis=-1)  # [C, N]
+    inliers = err < thresh
+    counts = jnp.sum(inliers, axis=1)
+    return jnp.take(inliers, jnp.argmax(counts), axis=0)
 
 
 def _refit(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
@@ -139,10 +175,11 @@ def _builtin_detect_and_compute(gray: np.ndarray, max_keypoints: int = 500):
     Shi-Tomasi keypoints + 8x8-cell gradient-orientation histograms (a
     SIFT-like 128-D descriptor). Not scale invariant; adequate for the
     planar-target matching the reference uses it for."""
-    from ..ops.feature import find_corners, _sobel_3x3
+    from ..ops.feature import find_corners
+    from .feature import _sobel_jit
 
     pts = find_corners(gray, max_keypoints, 0.01, 8).reshape(-1, 2)
-    gx, gy = _sobel_3x3(jnp.asarray(gray, jnp.float32))
+    gx, gy = _sobel_jit()(jnp.asarray(gray, jnp.float32))
     gx = np.asarray(gx)
     gy = np.asarray(gy)
     mag = np.hypot(gx, gy)

@@ -132,3 +132,47 @@ def test_sift_finds_embedded_source():
     quad = results[0]["quad"]
     assert abs(quad[0][0] - 60) < 6 and abs(quad[0][1] - 40) < 6
     assert abs(quad[2][0] - 159) < 6 and abs(quad[2][1] - 119) < 6
+
+
+def test_sift_matching_buckets_bound_compiles_and_match_exactly():
+    """Descriptor matching pads to power-of-2 buckets: varying keypoint
+    counts inside one bucket reuse ONE executable, and padded rows never
+    alter the matches (checked against a naive numpy 2-NN)."""
+    from cuauv_vision_pipeline_tpu.utils import sift as S
+
+    r = np.random.default_rng(7)
+    base = S._distance_topk._cache_size()
+    for nq, nt in [(70, 80), (90, 100), (100, 90), (110, 127)]:
+        q = r.normal(size=(nq, 128)).astype(np.float32)
+        t = r.normal(size=(nt, 128)).astype(np.float32)
+        got = S.match_descriptors(q, t, ratio=0.8)
+        # naive exact 2-NN + ratio test
+        d2 = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d2, axis=1)[:, :2]
+        d0 = np.sqrt(d2[np.arange(nq), order[:, 0]])
+        d1 = np.sqrt(d2[np.arange(nq), order[:, 1]])
+        want = [
+            (int(i), int(order[i, 0])) for i in np.nonzero(d0 < 0.8 * d1)[0]
+        ]
+        assert [(a, b) for a, b, _ in got] == want
+    assert S._distance_topk._cache_size() <= base + 1  # one 128-bucket compile
+
+
+def test_ransac_padding_matches_unpadded_consensus():
+    """RANSAC consensus over padded buffers returns the same inliers as the
+    geometry implies: points mapped by a known H are inliers, outliers not."""
+    from cuauv_vision_pipeline_tpu.utils import sift as S
+
+    r = np.random.default_rng(3)
+    H_true = np.array([[1.1, 0.02, 5.0], [-0.03, 0.95, -2.0], [1e-4, -2e-4, 1.0]])
+    src = r.uniform(10, 300, (37, 2))  # odd count: exercises padding
+    ones = np.concatenate([src, np.ones((len(src), 1))], axis=1)
+    proj = ones @ H_true.T
+    dst = proj[:, :2] / proj[:, 2:3]
+    dst[30:] += r.uniform(40, 80, (7, 2))  # 7 gross outliers
+    H, mask = S.ransac_homography(src, dst, thresh=3.0, iters=128, seed=1)
+    assert H is not None
+    assert mask[:30].all() and not mask[30:].any()
+    reproj = (ones @ H.T)
+    reproj = reproj[:, :2] / reproj[:, 2:3]
+    assert np.abs(reproj[:30] - dst[:30]).max() < 1.0

@@ -242,3 +242,28 @@ def test_hole_contour_point_sets_match_cv2_retr_list(seed):
     ref_sets = {frozenset(map(tuple, c.reshape(-1, 2))) for c in ref}
     got_sets = {frozenset(map(tuple, c.reshape(-1, 2))) for c in got}
     assert got_sets == ref_sets
+
+
+def test_host_shims_reuse_one_jit_across_parameter_values():
+    """Host shims must not compile per parameter value: canny thresholds are
+    traced scalars (one executable per l2 mode), and rotate/translate share
+    one warp jit with the affine matrix as data — tuner sweeps through the
+    preprocessor module must never trigger recompiles (utils/_jit.py)."""
+    from cuauv_vision_pipeline_tpu.utils import transform as UT
+    from cuauv_vision_pipeline_tpu.utils._jit import _JITS
+
+    img = _blobs(2)
+    # distinct thresholds, one canny entry
+    F.canny(img, 40, 120)
+    F.canny(img, 55, 170)
+    F.simple_canny(img)
+    assert len([k for k in _JITS if k[0] == "canny"]) == 1
+
+    # distinct angles/offsets, one warp entry
+    before = len(_JITS)
+    UT.rotate(img, 13.0)
+    UT.rotate(img, -71.5)
+    UT.translate(img, 4, -9)
+    UT.translate(img, -2, 3)
+    assert len([k for k in _JITS if k[0] == "warp"]) == 1
+    assert len(_JITS) <= before + 1
