@@ -281,4 +281,8 @@ def process_frame(
         horizontal_blocks,
         vertical_blocks,
     )
-    return np.asarray(jax.jit(balance, static_argnums=1)(arr, cfg))
+    return np.asarray(_balance_jit(arr, cfg))
+
+
+# module-level wrapper: a fresh jax.jit per call would re-trace every frame
+_balance_jit = jax.jit(balance, static_argnums=1)
