@@ -253,11 +253,12 @@ def test_host_shims_reuse_one_jit_across_parameter_values():
     from cuauv_vision_pipeline_tpu.utils._jit import _JITS
 
     img = _blobs(2)
-    # distinct thresholds, one canny entry
+    # distinct thresholds, one canny entry per l2 mode (other tests may have
+    # already compiled the l2=True variant; count only the L1 entry)
     F.canny(img, 40, 120)
     F.canny(img, 55, 170)
     F.simple_canny(img)
-    assert len([k for k in _JITS if k[0] == "canny"]) == 1
+    assert len([k for k in _JITS if k == ("canny", False)]) == 1
 
     # distinct angles/offsets, one warp entry
     before = len(_JITS)
