@@ -128,8 +128,11 @@ static int test_seqlock_under_hammer() {
     framebus::Frame frame;
     int seen = 0;
     std::uint64_t last_t = 0;
-    auto deadline = std::chrono::steady_clock::now() + std::chrono::seconds(2);
-    while (std::chrono::steady_clock::now() < deadline) {
+    // Run until enough samples accumulate; the hard cap only guards a hung
+    // bus. On a loaded single-core host the reader can starve for long
+    // stretches, so wall time is not the pass criterion — tear-freedom is.
+    auto deadline = std::chrono::steady_clock::now() + std::chrono::seconds(30);
+    while (seen < 200 && std::chrono::steady_clock::now() < deadline) {
         if (reader.read(frame, false) == framebus::SUCCESS) {
             const unsigned char* data =
                 static_cast<const unsigned char*>(frame.data);

@@ -133,7 +133,7 @@ def test_shm_watcher_fires_on_write():
         fired = []
 
         def waiter():
-            fired.append(w.wait(timeout=2.0))
+            fired.append(w.wait(timeout=15.0))
 
         t = threading.Thread(target=waiter)
         t.start()
