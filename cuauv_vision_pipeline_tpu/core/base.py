@@ -163,6 +163,7 @@ def device_fn(
     depth: int = 1,
     async_fetch: bool = False,
     batch: int = 1,
+    batch_mode: str = "vmap",
     latest_only_backlog: Optional[int] = None,
 ):
     """Decorator marking a method as the module's jitted device chain.
@@ -204,6 +205,17 @@ def device_fn(
     delivered for the NEWEST lane only (``meta.newest``).
     Requires a single-source spec and a bus with slot_count > batch.
 
+    ``batch_mode`` picks how lanes combine into one dispatch: ``"vmap"``
+    (default) vectorizes the chain across lanes — best when the chain is
+    MXU-heavy (batched convs) — while ``"map"`` (``lax.map``) runs lanes
+    sequentially inside the ONE dispatch. Map keeps VMEM at the
+    single-frame profile: vmapping a chain whose graph contains a
+    VMEM-hungry custom call (e.g. the top_k inside
+    ``ops.ccl.component_stats``) multiplies that op's scoped VMEM by the
+    lane count and can exceed the ~128 MB budget at 1080p (batch=8
+    measured 189 MB). The dispatch-RPC amortization — the reason batching
+    exists on high-latency links — is identical either way.
+
     ``latest_only_backlog=M`` restores the reference's latest-wins
     semantics (reference cmf.cpp:423) on demand: when more than M unseen
     frames are queued, only the newest is dispatched — stale frames are
@@ -228,11 +240,17 @@ def device_fn(
             return s.split("[", 1)[1].rsplit("]", 1)[0].strip()
         return s
 
+    if batch_mode not in ("vmap", "map"):
+        raise ValueError(
+            f"@device_fn batch_mode must be 'vmap' or 'map', got {batch_mode!r}"
+        )
+
     def _decorator(fn: Callable):
         fn._device_fn_aliases = tuple(_alias_of(s) for s in source_specs)
         fn._device_fn_depth = depth
         fn._device_fn_async = async_fetch
         fn._device_fn_batch = batch
+        fn._device_fn_batch_mode = batch_mode
         fn._device_fn_latest_only = latest_only_backlog
         return fn
 
@@ -1053,12 +1071,21 @@ class ModuleBase(ABC):
             depth = getattr(target, "_device_fn_depth", 1)
             async_fetch = getattr(target, "_device_fn_async", False)
             batch = getattr(target, "_device_fn_batch", 1)
+            batch_mode = getattr(target, "_device_fn_batch_mode", "vmap")
             latest_only = getattr(target, "_device_fn_latest_only", None)
             if batch > 1 and len(aliases) != 1:
                 raise RuntimeError(
                     "@device_fn(batch=N) requires a single source spec"
                 )
-            found = (maybe, tuple(aliases), depth, async_fetch, batch, latest_only)
+            found = (
+                maybe,
+                tuple(aliases),
+                depth,
+                async_fetch,
+                batch,
+                batch_mode,
+                latest_only,
+            )
             logger(
                 f"Registered device chain {attr_name} with aliases "
                 f"{aliases} (pipeline depth {depth}"
@@ -1128,6 +1155,7 @@ class ModuleBase(ABC):
                 dev_depth,
                 dev_async,
                 dev_batch,
+                dev_batch_mode,
                 dev_latest_only,
             ) = dev
             # posts ride in the SAME single packed fetch as the result (one
@@ -1138,9 +1166,12 @@ class ModuleBase(ABC):
             spec_cells: Dict[Tuple[bool, int], Dict[str, Any]] = {}
 
             if dev_batch > 1:
-                # per-frame user chain, vmapped over the leading lane axis
+                # per-frame user chain combined over the leading lane axis
                 # (tuners broadcast); only FRESH lanes are dispatched, so
-                # the lane count varies 1..batch — one cached trace each
+                # the lane count varies 1..batch — one cached trace each.
+                # batch_mode="vmap" vectorizes lanes; "map" runs them
+                # sequentially inside the one dispatch (single-frame VMEM
+                # profile — see the device_fn docstring).
                 import jax as _jax
 
                 def packed_fn(batched, *, tuners, want_posts, _fn=dev_bound):
@@ -1149,7 +1180,10 @@ class ModuleBase(ABC):
                             frame, tuners=tuners, want_posts=want_posts
                         )
 
-                    result, posts = _jax.vmap(one)(batched)
+                    if dev_batch_mode == "map" and batched.shape[0] > 1:
+                        result, posts = _jax.lax.map(one, batched)
+                    else:
+                        result, posts = _jax.vmap(one)(batched)
                     cell = spec_cells.setdefault(
                         (want_posts, int(batched.shape[0])), {}
                     )

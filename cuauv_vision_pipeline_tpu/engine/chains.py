@@ -179,6 +179,24 @@ class RedBuoyPipeline:
         # (34 s at 400 iters, device UNAVAILABLE fault at 1600). Per-frame
         # async dispatch of this executable is the supported fast path.
 
+        # batched lane: [B, H, W, 3] frames through ONE dispatch — the same
+        # shape @device_fn(batch=K) dispatches when a module drains K queued
+        # frames (core/base.py). One dispatch RPC carries B frames, so
+        # transport per-dispatch overhead amortizes B-fold. lax.map (not
+        # vmap): vmapping this chain multiplies component_stats' top_k
+        # scoped VMEM by B — batch=8 at 1080p needs 189 MB against the
+        # ~128 MB budget — while map keeps the single-frame VMEM profile
+        # and amortizes the dispatch identically (trip count B is far below
+        # the ~400-iter scan instability documented above).
+        self._batched = jax.jit(
+            lambda images, tmin, tmax: jax.lax.map(
+                lambda image: red_buoy_fused(
+                    image, tmin, tmax, max_components
+                ),
+                images,
+            )
+        )
+
     def __call__(self, image, tmin, tmax):
         """Returns (threshed, cleaned, best) as device arrays (async)."""
         threshed, cleaned, best = self.run_async(image, tmin, tmax)
@@ -186,6 +204,10 @@ class RedBuoyPipeline:
 
     def run_async(self, image, tmin, tmax):
         return self._one_shot(image, tmin, tmax)
+
+    def run_async_batched(self, images, tmin, tmax):
+        """[B, H, W, 3] -> per-lane (threshed, cleaned, best), one dispatch."""
+        return self._batched(images, tmin, tmax)
 
     def run_sync(self, image, tmin, tmax):
         import numpy as np

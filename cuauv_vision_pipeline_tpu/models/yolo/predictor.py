@@ -136,9 +136,15 @@ class YoloModel:
         reg_max = model.reg_max
         half = self.half_precision
 
-        # inference-time parameter store: int8+scales when quantized
+        # inference-time parameter store: int8+scales when quantized.
+        # quantize_weights_int8 returns NUMPY trees; pin them on device
+        # once — passing host arrays into the jitted forward would re-upload
+        # every weight leaf on every call (measured 124 ms/frame through the
+        # tunnel vs 1.6 ms with device-resident weights).
         if self.quantize == "int8":
-            self._infer_vars = quantize_weights_int8(self.variables)
+            self._infer_vars = jax.tree.map(
+                jax.device_put, quantize_weights_int8(self.variables)
+            )
         else:
             self._infer_vars = self.variables
 

@@ -56,7 +56,13 @@ class BuoyLAB(ModuleBase):
     # one vmapped graph instead of dropping 3 — only the fresh lanes
     # transfer and compute, so when it keeps up each tick is a plain
     # batch-1 dispatch and latency is unchanged.
-    @device_fn("zed[forward]", depth=2, async_fetch=True, batch=4)
+    # batch_mode="map": vmapping this chain multiplies the component_stats
+    # top_k's scoped VMEM by the lane count (batch=4 at 1080p sits ~95 MB
+    # against the ~128 MB budget; 8 would not compile) — lax.map keeps the
+    # single-frame VMEM profile with the same per-dispatch amortization.
+    @device_fn(
+        "zed[forward]", depth=2, async_fetch=True, batch=4, batch_mode="map"
+    )
     def buoy_chain(self, image, *, tuners, want_posts):
         threshed, cleaned, best = red_buoy_fused(
             image, tuners["thresh_min"], tuners["thresh_max"]

@@ -248,3 +248,25 @@ def test_pack_unpack_f64_and_empty_leaves():
     np.testing.assert_array_equal(
         out["wide"], [1.5, -2.25]
     )
+
+
+def test_batched_pipeline_lane_parity():
+    """RedBuoyPipeline.run_async_batched ([B,H,W,3] one vmapped dispatch —
+    the @device_fn(batch=K) dispatch shape and the bench headline's batched
+    lane) matches the per-frame lane exactly on every output."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.engine.chains import RedBuoyPipeline
+
+    p = RedBuoyPipeline()
+    frames = np.stack([buoy_frame((64, 96), t / 9.0) for t in range(4)])
+    tmin, tmax = np.int32(130), np.int32(255)
+    tb, cb, bestb = p.run_async_batched(jax.device_put(frames), tmin, tmax)
+    for lane in range(4):
+        t1, c1, b1 = p.run_async(jax.device_put(frames[lane]), tmin, tmax)
+        np.testing.assert_array_equal(np.asarray(tb)[lane], np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(cb)[lane], np.asarray(c1))
+        for k in b1:
+            np.testing.assert_allclose(
+                np.asarray(bestb[k])[lane], np.asarray(b1[k]), err_msg=k
+            )

@@ -644,3 +644,61 @@ def test_wildcard_alias_binds_first_plane_of_multiplane_source(unique_direction)
     aliases, h = seen[0]
     assert aliases == ("forward",), aliases  # bound to the first zed plane
     assert h == 54
+
+
+def test_device_fn_batch_mode_map_drains_queued_frames(unique_direction):
+    """batch_mode="map": lanes run sequentially inside ONE dispatch
+    (single-frame VMEM profile — the mode red_buoy ships with); delivery
+    semantics are identical to the vmap mode."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+
+    class MapBatcher(ModuleBase):
+        @device_fn(unique_direction, batch=4, batch_mode="map")
+        def chain(self, image, *, tuners, want_posts):
+            return {"mean": jnp.mean(image.astype(jnp.float32))}, {}
+
+        def on_device_result(self, result, posts, meta):
+            seen.append((float(result["mean"]), meta.acquisition_time))
+
+    writer = BlockAccessor(
+        unique_direction, max_entry_size_bytes=32 * 32 * 3, slot_count=8
+    )
+    module = MapBatcher([unique_direction], [], fps=200, argv=[])
+    quit_flag = threading.Event()
+    with writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                frame = lambda v: np.full((32, 32, 3), v, np.uint8)
+                writer.write_frame(1000, frame(10))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and not seen:
+                    time.sleep(0.02)
+                assert seen, "first frame never processed"
+                writer.write_frame(2000, frame(20))
+                writer.write_frame(2001, frame(30))
+                writer.write_frame(2002, frame(40))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and len(seen) < 4:
+                    time.sleep(0.02)
+            finally:
+                quit_flag.set()
+                loop.join(timeout=20)
+
+    assert len(seen) >= 4, seen
+    assert [round(m) for m, _ in seen[:4]] == [10, 20, 30, 40]
+    assert [a for _, a in seen[:4]] == [1000, 2000, 2001, 2002]
+
+
+def test_device_fn_batch_mode_validation():
+    from cuauv_vision_pipeline_tpu.core.base import device_fn
+
+    with pytest.raises(ValueError, match="batch_mode"):
+        device_fn("cam", batch=4, batch_mode="pmap")

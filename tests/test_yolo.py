@@ -582,8 +582,17 @@ def test_int8_weight_only_quantization_parity():
 
     quant = YoloModel(None, task="obb", image_size=160, max_det=8,
                       conf_thresh=0.0, quantize="int8")
+    # the quantized store must be device-resident: numpy leaves here mean
+    # every device_decode call re-uploads the whole weight tree (regression
+    # guard for a measured 124 ms/frame tunnel pathology)
+    assert all(
+        isinstance(leaf, jax.Array)
+        for leaf in jax.tree.leaves(quant._infer_vars)
+    )
     quant.variables = base.variables
-    quant._infer_vars = quantize_weights_int8(base.variables)
+    quant._infer_vars = jax.tree.map(
+        jax.device_put, quantize_weights_int8(base.variables)
+    )
 
     img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
     ref = {k: np.asarray(v) for k, v in base.device_decode(img).items()}
