@@ -281,7 +281,7 @@ def headline_device_chain() -> None:
     import jax
 
     from cuauv_vision_pipeline_tpu.capture_sources.synthetic import buoy_frame
-    from cuauv_vision_pipeline_tpu.engine.chains import RedBuoyPipeline
+    from cuauv_vision_pipeline_tpu.engine.chains import red_buoy_fused
 
     H, W = 1080, 1920
     N_DISTINCT = 8
@@ -291,13 +291,8 @@ def headline_device_chain() -> None:
     dev_frames = [jax.device_put(f) for f in host_frames]
     jax.block_until_ready(dev_frames)
 
-    pipeline = RedBuoyPipeline()
     tmin = np.int32(130)
     tmax = np.int32(255)
-
-    for i in range(5):
-        out = pipeline.run_async(dev_frames[i % N_DISTINCT], tmin, tmax)
-    jax.block_until_ready(out)
 
     # All ITERS chains are enqueued (async dispatch keeps the chip busy
     # back-to-back) and the final detections are synchronized once;
@@ -305,10 +300,25 @@ def headline_device_chain() -> None:
     # host round-trip measures the ~100 ms tunnel, not the chain. The
     # detection VALUES are asserted by tests/ and the topology configs —
     # materializing them here would de-pipeline every later device bench.
+    # Each iteration's threshold carries the previous iteration's area
+    # (same executable — thresholds are traced data): a scalar data
+    # dependence that forces true serialization, so the loop cannot
+    # measure enqueue/overlap artifacts instead of execution.
+    import jax.numpy as _jnp
+
+    @jax.jit
+    def one_dep(frame, tmin, tmax, prev_area):
+        t = tmin + prev_area.astype(_jnp.int32) % 2
+        threshed, cleaned, best = red_buoy_fused(frame, t, tmax)
+        return best, best["area"]
+
+    carry1 = jax.device_put(np.int32(0))
+    out = one_dep(dev_frames[0], tmin, tmax, carry1)
+    jax.block_until_ready(out)  # compile
     start = time.perf_counter()
     last = None
     for i in range(ITERS):
-        _, _, best = pipeline.run_async(dev_frames[i % N_DISTINCT], tmin, tmax)
+        best, carry1 = one_dep(dev_frames[i % N_DISTINCT], tmin, tmax, carry1)
         last = best
     jax.block_until_ready(last)
     per_dispatch_fps = ITERS / (time.perf_counter() - start)
@@ -324,12 +334,30 @@ def headline_device_chain() -> None:
     BATCH = 8
     batched_frames = jax.device_put(np.stack(host_frames))
     jax.block_until_ready(batched_frames)
-    out = pipeline.run_async_batched(batched_frames, tmin, tmax)
+
+    # Dependence-chained timing: iteration i+1's threshold depends on
+    # iteration i's area (a scalar; thresholds are traced data so this is
+    # the SAME executable), forcing true serialization of the dispatches.
+    # Without it a window measured 193k fps — 0.005 ms/frame, faster than
+    # the mask chain alone x8, i.e. overlap/early-return artifact, not
+    # compute. The carry flips tmin by area%2 (mask-identical in practice).
+    import jax.numpy as jnp
+
+    @jax.jit
+    def batched_dep(frames, tmin, tmax, prev_area):
+        t = tmin + prev_area.astype(jnp.int32) % 2
+        threshed, cleaned, best = jax.lax.map(
+            lambda im: red_buoy_fused(im, t, tmax), frames
+        )
+        return threshed, cleaned, best, best["area"][0]
+
+    carry = jax.device_put(np.int32(0))
+    out = batched_dep(batched_frames, tmin, tmax, carry)
     jax.block_until_ready(out)  # compile
     B_ITERS = 50
     start = time.perf_counter()
     for _ in range(B_ITERS):
-        _, _, best = pipeline.run_async_batched(batched_frames, tmin, tmax)
+        _, _, best, carry = batched_dep(batched_frames, tmin, tmax, carry)
     jax.block_until_ready(best)
     batched_fps = B_ITERS * BATCH / (time.perf_counter() - start)
     TERMS["red_buoy_batched_step_ms"] = 1000.0 / batched_fps
