@@ -32,7 +32,9 @@ Env knobs: BENCH_MEASURE_S (per-config window, default 12),
 BENCH_CONFIGS (comma list, default "h,s,d,t,b,y,p,1,5,2,3,4"),
 BENCH_WARM_S (first-result deadline inside a config, default 1500),
 BENCH_TIME_BUDGET_S (whole-run budget, default 3000),
-BENCH_CONFIG_CAP_S (hard per-config wall-clock cap, default 540).
+BENCH_CONFIG_CAP_S (hard per-config wall-clock cap, default 700 —
+above the observed 150-545 s worst case of the uncacheable per-process
+first-readback compile, so a slow-but-alive config is not killed mid-warm).
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ MEASURE_S = float(os.environ.get("BENCH_MEASURE_S", "12"))
 WARM_S = float(os.environ.get("BENCH_WARM_S", "1500"))
 SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
 BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
-CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "540"))
+CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "700"))
 CONFIGS = os.environ.get(
     "BENCH_CONFIGS", "h,s,d,t,b,y,p,1,5,2,3,4"
 ).split(",")
