@@ -119,7 +119,7 @@ def find_line_segments(
     randomized scheme is not reproducible anyway)."""
     edges = np.asarray(mat) != 0
     lines = F.find_lines(edges.astype(np.uint8), res_ratio, theta_res, threshold)
-    ys, xs = np.nonzero(edges)
+    ys, xs = F.host_nonzero2d(edges)
     segments: List[Tuple[int, int, int, int]] = []
     for rho, theta in lines:
         a, b = math.cos(theta), math.sin(theta)
@@ -169,7 +169,7 @@ def find_circles(
     if max_radius <= 0:
         max_radius = min(H, W) // 2
     acc = np.zeros((H, W), np.int32)
-    ys, xs = np.nonzero(edges)
+    ys, xs = F.host_nonzero2d(edges)
     mag = np.hypot(gx[ys, xs], gy[ys, xs])
     ok = mag > 1e-3
     ys, xs, mag = ys[ok], xs[ok], mag[ok]
