@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <vector>
 
 namespace {
 
@@ -97,6 +98,124 @@ int64_t vp_trace_boundary(const uint8_t* fg, int64_t H, int64_t W,
     if (!found) break;  // isolated pixel
   }
   return n > 1 ? n - 1 : n;
+}
+
+// Batch boundary tracing: trace every start in one call, writing UN-PADDED
+// (x-1, y-1) point pairs contiguously into out_xy with per-contour offsets.
+// One ctypes round trip replaces n_starts of them — on a dense noisy mask
+// (~15k contours) the per-call FFI overhead dominated the actual tracing.
+// starts is int32 [n][3] = (sy, sx, start_dir) in PADDED coords, exactly
+// what vp_trace_boundary takes.  out_offsets has n_starts+1 slots; contour i
+// occupies out_xy[2*out_offsets[i] : 2*out_offsets[i+1]].  Returns the total
+// point count, or -1 if max_pts would be exceeded (caller grows + retries).
+int64_t vp_trace_all(const uint8_t* fg, int64_t H, int64_t W,
+                     const int32_t* starts, int64_t n_starts,
+                     int32_t* out_xy, int64_t max_pts,
+                     int64_t* out_offsets) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_starts; ++i) {
+    out_offsets[i] = total;
+    const int64_t n = vp_trace_boundary(
+        fg, H, W, starts[3 * i], starts[3 * i + 1], starts[3 * i + 2],
+        out_xy + 2 * total, max_pts - total);
+    if (n < 0) return -1;
+    for (int64_t p = 2 * total; p < 2 * (total + n); ++p) out_xy[p] -= 1;
+    total += n;
+  }
+  out_offsets[n_starts] = total;
+  return total;
+}
+
+// Run-length union-find connected-component labeling, the native twin of
+// utils/contours._label_core.  Semantics are IDENTICAL to the Python sweep
+// (labels assigned from 1 in raster creation order, union-by-min, final
+// root = find(label-at-creation)) so the parity test can require bit-equal
+// run lists and label rasters on random masks.
+//
+// fg is the UNPADDED mask (any nonzero = foreground).  connectivity is 8 or
+// 4 (8 dilates the row-overlap test by one column on each side, exactly the
+// `pad` trick in the Python loop).  runs_out receives (y, start, end, root)
+// int32 quadruples in raster order; labels_out (optional, pass NULL to
+// skip) receives the resolved root per pixel (0 = background).  Returns the
+// number of runs written, or -1 if they would exceed max_runs.
+int64_t vp_component_runs(const uint8_t* fg, int64_t H, int64_t W,
+                          int64_t connectivity, int32_t* labels_out,
+                          int32_t* runs_out, int64_t max_runs) {
+  const int pad = (connectivity == 8) ? 1 : 0;
+  const int skip_off = 1 - pad;
+
+  std::vector<int32_t> parent(1, 0);
+  auto find = [&parent](int32_t a) {
+    while (parent[a] != a) {
+      parent[a] = parent[parent[a]];
+      a = parent[a];
+    }
+    return a;
+  };
+
+  int64_t n_runs = 0;
+  int32_t next_label = 1;
+  // previous row's runs: (start - pad, end, label); two-pointer sweep
+  std::vector<int32_t> prev_s, prev_e, prev_l, cur_s, cur_e, cur_l;
+
+  for (int64_t y = 0; y < H; ++y) {
+    const uint8_t* row = fg + y * W;
+    cur_s.clear();
+    cur_e.clear();
+    cur_l.clear();
+    int64_t x = 0;
+    size_t j = 0;  // two-pointer index into prev_* (both sorted by column)
+    while (x < W) {
+      while (x < W && !row[x]) ++x;
+      if (x >= W) break;
+      const int64_t s = x;
+      while (x < W && row[x]) ++x;
+      const int64_t e = x;
+
+      int32_t lab = 0;
+      while (j < prev_s.size() && prev_e[j] < s + skip_off) ++j;
+      size_t k = j;
+      while (k < prev_s.size() && prev_s[k] < e) {
+        const int32_t pl = prev_l[k];
+        if (lab == 0) {
+          lab = find(pl);
+        } else {
+          int32_t ra = find(lab), rb = find(pl);
+          if (ra != rb) parent[ra > rb ? ra : rb] = ra > rb ? rb : ra;
+          if (rb < lab) lab = rb;  // keep lab a root candidate (min so far)
+        }
+        ++k;
+      }
+      if (lab == 0) {
+        lab = next_label++;
+        parent.push_back(lab);
+      }
+      if (n_runs >= max_runs) return -1;
+      runs_out[4 * n_runs + 0] = (int32_t)y;
+      runs_out[4 * n_runs + 1] = (int32_t)s;
+      runs_out[4 * n_runs + 2] = (int32_t)e;
+      runs_out[4 * n_runs + 3] = lab;  // resolved to root in the final pass
+      ++n_runs;
+      cur_s.push_back((int32_t)(s - pad));
+      cur_e.push_back((int32_t)e);
+      cur_l.push_back(lab);
+    }
+    prev_s.swap(cur_s);
+    prev_e.swap(cur_e);
+    prev_l.swap(cur_l);
+  }
+
+  for (int64_t i = 0; i < n_runs; ++i) {
+    const int32_t root = find(runs_out[4 * i + 3]);
+    runs_out[4 * i + 3] = root;
+    if (labels_out) {
+      const int64_t y = runs_out[4 * i + 0];
+      int32_t* lrow = labels_out + y * W;
+      for (int32_t c = runs_out[4 * i + 1]; c < runs_out[4 * i + 2]; ++c)
+        lrow[c] = root;
+    }
+  }
+  return n_runs;
 }
 
 }  // extern "C"

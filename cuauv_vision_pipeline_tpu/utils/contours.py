@@ -182,19 +182,8 @@ def find_contours(
     # the first (raster order) pixel of a not-yet-traced component. Run
     # starts from the labeler ARE exactly those pixels, in raster order — no
     # separate argwhere pass over the image, and no label raster needed.
-    runs = _component_runs(fg)
-    seen_components = set()
-    fn = _load_native_tracer()
-    session = _NativeTraceSession(fn, fg) if fn is not None else None
-    for sy, sx, _e, comp in runs:
-        if comp in seen_components:
-            continue
-        seen_components.add(comp)
-        if session is not None:
-            contour = session.trace(sy, sx)
-        else:
-            contour = _trace_boundary(fg, (sy, sx))
-        contours.append(contour - 1)  # un-pad (copies out of the session buffer)
+    starts = _first_starts(_component_runs(fg), start_dir=0)
+    contours.extend(_trace_starts(fg, starts))
 
     if not external_only:
         contours.extend(_hole_contours(fg))
@@ -215,33 +204,22 @@ def _hole_contours(fg: np.ndarray) -> List[np.ndarray]:
     bg = ~fg
     H, W = fg.shape
     bg_runs = _component_runs(bg, connectivity=4)
-    border_roots = {
-        root
-        for y, s, e, root in bg_runs
-        if y == 0 or y == H - 1 or s == 0 or e == W
-    }
-    hole_runs = [r for r in bg_runs if r[3] not in border_roots]
-    if not hole_runs:
+    ys, ss, es, roots = (bg_runs[:, i] for i in range(4))
+    on_border = (ys == 0) | (ys == H - 1) | (ss == 0) | (es == W)
+    border_roots = np.unique(roots[on_border])
+    hole_runs = bg_runs[~np.isin(roots, border_roots)]
+    if len(hole_runs) == 0:
         return []
     holes = np.zeros_like(bg)
-    for y, s, e, _root in hole_runs:
+    for y, s, e, _root in hole_runs.tolist():
         holes[y, s:e] = True
     # trace the fg boundary around each hole: start at the pixel just above
-    # each hole's first pixel (raster order)
-    out: List[np.ndarray] = []
-    seen = set()
-    fn = _load_native_tracer()
-    session = _NativeTraceSession(fn, fg) if fn is not None else None
-    for y, x, _e, c in _component_runs(holes, connectivity=8):
-        if c in seen:
-            continue
-        seen.add(c)
-        if session is not None:
-            contour = session.trace(y - 1, x, start_dir=2)  # bg anchor: the hole
-        else:
-            contour = _trace_boundary(fg, (y - 1, x), prev_dir=2)
-        out.append(contour - 1)
-    return out
+    # each hole's first pixel (raster order); start_dir=2 = the bg anchor is
+    # the hole pixel to the south
+    starts = _first_starts(
+        _component_runs(holes, connectivity=8), start_dir=2, y_off=-1
+    )
+    return _trace_starts(fg, starts)
 
 
 def _label_components(fg: np.ndarray) -> np.ndarray:
@@ -249,15 +227,147 @@ def _label_components(fg: np.ndarray) -> np.ndarray:
     return _label_core(fg, want_labels=True)[0]
 
 
-def _component_runs(
-    fg: np.ndarray, connectivity: int = 8
-) -> List[Tuple[int, int, int, int]]:
+def _component_runs(fg: np.ndarray, connectivity: int = 8) -> np.ndarray:
     """Foreground runs with resolved component roots, raster order.
 
-    Returns ``(y, start, end, root)`` per run — the first run of each root is
-    the component's topmost-leftmost pixel (a Moore trace start), so callers
-    get trace starts without any full-image argwhere pass."""
+    Returns an int32 ``[N, 4]`` array of ``(y, start, end, root)`` rows — the
+    first run of each root is the component's topmost-leftmost pixel (a Moore
+    trace start), so callers get trace starts without any full-image argwhere
+    pass."""
     return _label_core(fg, want_labels=False, connectivity=connectivity)[1]
+
+
+def _first_starts(
+    runs: np.ndarray, start_dir: int, y_off: int = 0
+) -> np.ndarray:
+    """Trace starts from a run list: int32 [n, 3] of (sy, sx, start_dir),
+    one per component (its first run in raster order = topmost-leftmost)."""
+    if len(runs) == 0:
+        return np.empty((0, 3), np.int32)
+    _, first_idx = np.unique(runs[:, 3], return_index=True)
+    first_idx.sort()
+    sel = runs[first_idx]
+    out = np.empty((len(sel), 3), np.int32)
+    out[:, 0] = sel[:, 0] + y_off
+    out[:, 1] = sel[:, 1]
+    out[:, 2] = start_dir
+    return out
+
+
+_native_trace_all = _NATIVE_SENTINEL  # lazily resolved; None = unavailable
+
+
+def _load_native_trace_all():
+    """ctypes handle to vp_trace_all in libframebus.so, or None."""
+    global _native_trace_all
+    if _native_trace_all is not _NATIVE_SENTINEL:
+        return _native_trace_all
+    _native_trace_all = None
+    if os.environ.get("CUAUV_NATIVE_TRACE", "1") != "0":
+        try:
+            from .. import native as _native_pkg
+
+            lib = ctypes.CDLL(_native_pkg.library_path())
+            fn = lib.vp_trace_all
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p,  # fg (uint8, padded, C-contiguous)
+                ctypes.c_int64,  # H
+                ctypes.c_int64,  # W
+                ctypes.c_void_p,  # starts (int32 [n, 3])
+                ctypes.c_int64,  # n_starts
+                ctypes.c_void_p,  # out_xy (int32 pairs)
+                ctypes.c_int64,  # max_pts
+                ctypes.c_void_p,  # out_offsets (int64 [n+1])
+            ]
+            _native_trace_all = fn
+        except Exception:
+            _native_trace_all = None
+    return _native_trace_all
+
+
+def _trace_starts(fg: np.ndarray, starts: np.ndarray) -> List[np.ndarray]:
+    """Trace every (sy, sx, start_dir) boundary start; [N, 1, 2] un-padded
+    contours in starts order.
+
+    One vp_trace_all call traces the whole batch (the per-contour FFI round
+    trip dominated dense masks); contours are disjoint-range views into one
+    freshly allocated buffer. Falls back to the per-contour native tracer,
+    then to the pure-Python tracer."""
+    if len(starts) == 0:
+        return []
+    fn_all = _load_native_trace_all()
+    if fn_all is not None:
+        fg_u8 = np.ascontiguousarray(fg, dtype=np.uint8)
+        H, W = fg_u8.shape
+        starts_c = np.ascontiguousarray(starts, dtype=np.int32)
+        offs = np.empty(len(starts) + 1, dtype=np.int64)
+        cap = max(1 << 16, 16 * len(starts))
+        while True:
+            buf = np.empty((cap, 2), dtype=np.int32)
+            n = fn_all(
+                fg_u8.ctypes.data, H, W, starts_c.ctypes.data, len(starts_c),
+                buf.ctypes.data, cap, offs.ctypes.data,
+            )
+            if n >= 0:
+                break
+            # worst case: every tracer step of every contour emits a point
+            assert cap < 4 * H * W + 2, "batch tracer overflowed worst case"
+            cap = 4 * H * W + 2
+        bounds = offs.tolist()
+        return [
+            buf[bounds[i] : bounds[i + 1]].reshape(-1, 1, 2)
+            for i in range(len(starts_c))
+        ]
+    fn = _load_native_tracer()
+    session = _NativeTraceSession(fn, fg) if fn is not None else None
+    out: List[np.ndarray] = []
+    for sy, sx, sd in starts.tolist():
+        if session is not None:
+            contour = session.trace(sy, sx, start_dir=sd)
+        else:
+            contour = _trace_boundary(fg, (sy, sx), prev_dir=sd)
+        out.append(contour - 1)  # un-pad (copies out of the session buffer)
+    return out
+
+
+_native_runs = _NATIVE_SENTINEL  # lazily resolved; None = unavailable
+
+
+def _load_native_runs():
+    """ctypes handle to vp_component_runs in libframebus.so, or None.
+
+    The native labeler is a 1:1 twin of the Python sweep in _label_core
+    (identical run lists and label rasters — pinned by
+    tests/test_utils_feature.py). It turns the per-run Python loop into a
+    C row scan: a dense noisy 720p mask (~180k runs) labels in ~3 ms where
+    the Python sweep takes ~300 ms. Set CUAUV_NATIVE_TRACE=0 to force the
+    Python path (same switch as the tracer: both are imgeom.cpp kernels).
+    """
+    global _native_runs
+    if _native_runs is not _NATIVE_SENTINEL:
+        return _native_runs
+    _native_runs = None
+    if os.environ.get("CUAUV_NATIVE_TRACE", "1") != "0":
+        try:
+            from .. import native as _native_pkg
+
+            lib = ctypes.CDLL(_native_pkg.library_path())
+            fn = lib.vp_component_runs
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p,  # fg (uint8, C-contiguous, unpadded)
+                ctypes.c_int64,  # H
+                ctypes.c_int64,  # W
+                ctypes.c_int64,  # connectivity (8 or 4)
+                ctypes.c_void_p,  # labels_out (int32 H*W) or None
+                ctypes.c_void_p,  # runs_out (int32 [max_runs, 4])
+                ctypes.c_int64,  # max_runs
+            ]
+            _native_runs = fn
+        except Exception:
+            _native_runs = None
+    return _native_runs
 
 
 def _label_core(
@@ -275,6 +385,19 @@ def _label_core(
     gather and returns only the run list (find_contours' path: it needs trace
     starts and dedup roots, never the label image)."""
     H, W = fg.shape
+    fn = _load_native_runs()
+    if fn is not None:
+        fg_u8 = np.ascontiguousarray(fg, dtype=np.uint8)
+        max_runs = H * ((W + 1) // 2) + 1  # every row fully striped
+        runs = np.empty((max_runs, 4), dtype=np.int32)
+        labels = np.zeros((H, W), dtype=np.int32) if want_labels else None
+        n = fn(
+            fg_u8.ctypes.data, H, W, connectivity,
+            None if labels is None else labels.ctypes.data,
+            runs.ctypes.data, max_runs,
+        )
+        assert n >= 0, "native labeler overflowed its worst-case run buffer"
+        return labels, runs[:n].copy()
     labels = np.zeros((H, W), dtype=np.int32) if want_labels else None
     parent = [0]
 
@@ -352,7 +475,9 @@ def _label_core(
             all_runs.append((y, s, e, lab))
             runs.append((s - pad, e, lab))
         prev_runs = runs
-    out_runs = [(y, s, e, find(lab)) for y, s, e, lab in all_runs]
+    out_runs = np.array(
+        [(y, s, e, find(lab)) for y, s, e, lab in all_runs], dtype=np.int32
+    ).reshape(-1, 4)
     if want_labels and next_label > 1:
         remap = np.array([find(i) for i in range(next_label)], dtype=np.int32)
         labels = remap[labels]

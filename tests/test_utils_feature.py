@@ -210,25 +210,61 @@ def _blobby_hole_mask(seed, H=120, W=160, salt=0.01):
     return m
 
 
+def _reset_native_caches():
+    """All imgeom.cpp kernels re-resolve against CUAUV_NATIVE_TRACE."""
+    CT._native_trace = CT._NATIVE_SENTINEL
+    CT._native_trace_all = CT._NATIVE_SENTINEL
+    CT._native_runs = CT._NATIVE_SENTINEL
+
+
 @pytest.mark.parametrize("seed", [0, 4, 8])
 def test_native_tracer_matches_python(seed, monkeypatch):
-    """The native Moore tracer (libframebus vp_trace_boundary) must produce
-    bit-identical contours to the Python reference loop, outer AND holes."""
+    """Every native imgeom kernel combination (batch tracer, per-contour
+    tracer, run labeler) must produce bit-identical contours to the
+    pure-Python reference loops, outer AND holes."""
     if CT._load_native_tracer() is None:
         pytest.skip("native tracer unavailable")
     mask = _blobby_hole_mask(seed)
 
     monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
-    CT._native_trace = CT._NATIVE_SENTINEL
-    native = CT.find_contours(mask, external_only=False)
+    _reset_native_caches()
+    batch_native = CT.find_contours(mask, external_only=False)
+    # middle path: native labeler + per-contour native tracer, no batch
+    CT._native_trace_all = None
+    per_call_native = CT.find_contours(mask, external_only=False)
     monkeypatch.setenv("CUAUV_NATIVE_TRACE", "0")
-    CT._native_trace = CT._NATIVE_SENTINEL
+    _reset_native_caches()
     python = CT.find_contours(mask, external_only=False)
-    CT._native_trace = CT._NATIVE_SENTINEL  # re-resolve for later tests
+    monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
+    _reset_native_caches()  # re-resolve for later tests
 
-    assert len(native) == len(python)
-    for cn, cp in zip(native, python):
+    assert len(batch_native) == len(per_call_native) == len(python)
+    for cb, cn, cp in zip(batch_native, per_call_native, python):
+        np.testing.assert_array_equal(cb, cp)
         np.testing.assert_array_equal(cn, cp)
+
+
+@pytest.mark.parametrize("seed", [1, 6])
+def test_native_labeler_matches_python(seed, monkeypatch):
+    """vp_component_runs: bit-equal run lists AND label rasters vs the
+    Python union-find sweep, both connectivities."""
+    if CT._load_native_runs() is None:
+        pytest.skip("native labeler unavailable")
+    r = np.random.default_rng(seed)
+    for _ in range(20):
+        H, W = int(r.integers(1, 48)), int(r.integers(1, 48))
+        fg = r.random((H, W)) < r.uniform(0.05, 0.9)
+        for conn in (8, 4):
+            monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
+            _reset_native_caches()
+            ln, rn = CT._label_core(fg, want_labels=True, connectivity=conn)
+            monkeypatch.setenv("CUAUV_NATIVE_TRACE", "0")
+            _reset_native_caches()
+            lp, rp = CT._label_core(fg, want_labels=True, connectivity=conn)
+            np.testing.assert_array_equal(ln, lp)
+            np.testing.assert_array_equal(rn, rp)
+    monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
+    _reset_native_caches()
 
 
 @pytest.mark.parametrize("seed", [0, 4, 11])
