@@ -244,6 +244,11 @@ def device_fn(
         raise ValueError(
             f"@device_fn batch_mode must be 'vmap' or 'map', got {batch_mode!r}"
         )
+    if latest_only_backlog is not None and latest_only_backlog < 1:
+        raise ValueError(
+            "@device_fn latest_only_backlog must be >= 1 (got "
+            f"{latest_only_backlog}); use None to batch the full backlog"
+        )
 
     def _decorator(fn: Callable):
         fn._device_fn_aliases = tuple(_alias_of(s) for s in source_specs)
@@ -626,10 +631,17 @@ class ModuleReader:
         # returns, and racing the thread's startup would raise
         # "not in a context manager"
         self._exit_stack = contextlib.ExitStack()
-        for _, accessor, _ in self._all_posts.values():
-            self._exit_stack.enter_context(accessor)
-        for _, accessor, _ in self._all_tuners.values():
-            self._exit_stack.enter_context(accessor)
+        try:
+            for _, accessor, _ in self._all_posts.values():
+                self._exit_stack.enter_context(accessor)
+            for _, accessor, _ in self._all_tuners.values():
+                self._exit_stack.enter_context(accessor)
+        except BaseException:
+            # unwind the accessors already entered — otherwise a single bad
+            # block leaks every earlier mapping for the process lifetime
+            self._exit_stack.close()
+            self._exit_stack = None
+            raise
         self._thread = threading.Thread(target=self._loop, args=(fps,))
         self._thread.start()
 
@@ -1141,6 +1153,7 @@ class ModuleBase(ABC):
         dev_exec = None
         dev_aliases: Tuple[str, ...] = ()
         dev_batch = 1
+        dev_latest_only: Optional[int] = None
         if dev is not None:
             from ..engine.executor import (
                 DevicePipeline,
@@ -1229,12 +1242,19 @@ class ModuleBase(ABC):
         # read_messages drains up to dev_batch unseen frames per tick
         dev_batch_src: Optional[str] = None
         batch_cache: Dict[str, Tuple[List[np.ndarray], List[int]]] = {}
+        lanes_warmed = False
 
         while not quit_flag.is_set():
             tick_start = time.monotonic()
 
+            # with latest_only_backlog=M >= batch, drain M+1 frames so the
+            # backlog check can actually see past the batch size (the bus
+            # ring bounds the drain; sources default to 8 slots)
+            read_depth = dev_batch
+            if dev_latest_only is not None:
+                read_depth = max(dev_batch, dev_latest_only + 1)
             batch_req = (
-                {dev_batch_src: dev_batch} if dev_batch_src else None
+                {dev_batch_src: read_depth} if dev_batch_src else None
             )
             try:
                 with tracer.span("read_messages"):
@@ -1346,17 +1366,20 @@ class ModuleBase(ABC):
                         else:  # first tick (source not yet batch-read)
                             lane_frames = [frame_cache[alias][0]]
                             lane_acqs = [frame_cache[alias][1]]
-                        lane_frames = lane_frames[-dev_batch:]
-                        lane_acqs = lane_acqs[-dev_batch:]
                         if (
                             dev_latest_only is not None
                             and len(lane_frames) > dev_latest_only
                         ):
                             # latest-wins on demand: past the backlog
                             # threshold, stale frames drop instead of
-                            # batching (reference cmf.cpp:423 semantics)
+                            # batching (reference cmf.cpp:423 semantics).
+                            # Checked on the FULL drained backlog, before
+                            # the batch trim — else M >= batch never fires.
                             lane_frames = lane_frames[-1:]
                             lane_acqs = lane_acqs[-1:]
+                        else:
+                            lane_frames = lane_frames[-dev_batch:]
+                            lane_acqs = lane_acqs[-dev_batch:]
                         # only the fresh lanes transfer & compute; in the
                         # keep-up case this is a single [1,H,W,C] view, not
                         # a padded batch-K copy
@@ -1386,6 +1409,24 @@ class ModuleBase(ABC):
                         )
                     for done in ready:
                         self._dispatch_device_result(done)
+                    if (
+                        dev_batch > 1
+                        and not lanes_warmed
+                        and os.environ.get("CUAUV_WARM_LANES", "1") == "1"
+                    ):
+                        # Pre-compile the OTHER fresh-lane counts in the
+                        # background: each count is its own trace, and
+                        # without this the first fall-behind event would hit
+                        # a cold compile (minutes on a tunnel-attached chip)
+                        # exactly when backlog already exists.
+                        lanes_warmed = True
+                        self._warm_lane_traces(
+                            dev_exec,
+                            frames[0].shape[1:],
+                            frames[0].dtype,
+                            dev_batch,
+                            want_posts,
+                        )
                 elif dev_exec.pending:
                     # no new bundle this tick — the device had a full frame
                     # period to finish, so drain rather than hold the result
@@ -1414,6 +1455,36 @@ class ModuleBase(ABC):
                 )
             dev_exec.close()
             self._drain_post_queue()
+
+    def _warm_lane_traces(
+        self, dev_exec, frame_shape, frame_dtype, dev_batch, want_posts
+    ) -> None:
+        """Background-compile every fresh-lane count of a batched chain.
+
+        Fresh-lane batching compiles one executable per distinct lane count;
+        the keep-up case only ever runs nlanes=1, so the first fall-behind
+        would otherwise pay a cold compile mid-stream. Dummy zero-frame
+        dispatches go straight through the pipeline's jit (not the executor
+        queue) on a daemon thread; jit tracing/compile is thread-safe and
+        the executions themselves are one frame-time each. Disable with
+        CUAUV_WARM_LANES=0."""
+        import jax
+
+        tuners = self._module_manager.tuner_scalars()
+        pipeline = dev_exec.pipeline
+
+        def _warm() -> None:
+            for n in range(dev_batch, 0, -1):
+                try:
+                    z = np.zeros((n,) + tuple(frame_shape), frame_dtype)
+                    out = pipeline(z, tuners=tuners, want_posts=want_posts)
+                    jax.block_until_ready(out)
+                except Exception:
+                    return  # warmup is best-effort; real dispatches decide
+
+        threading.Thread(
+            target=_warm, name="lane-trace-warmup", daemon=True
+        ).start()
 
     def _plane_aliases_for(self, message: VideoMessage) -> Tuple[str, ...]:
         """Alias resolution for multi-plane frames: bus plane names win, then

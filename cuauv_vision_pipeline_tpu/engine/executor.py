@@ -53,7 +53,9 @@ def _host_to_device(a: Any) -> Any:
         return a
     if _ZERO_COPY_H2D:
         try:
-            return jax.device_put(jnp.from_dlpack(a), jax.devices()[0])
+            # no explicit device: placement must follow jax_default_device so
+            # the --device N per-chip module pinning (core/base.py) holds
+            return jax.device_put(jnp.from_dlpack(a))
         except Exception:
             pass  # non-contiguous / unsupported dtype: numpy path below
     return jax.device_put(a)
@@ -256,19 +258,45 @@ class StreamExecutor:
             raise item[0]
         return item
 
-    def _pop_one(self) -> Optional[Tuple[Any, Any]]:
+    def _pop_one(
+        self, timeout_s: Optional[float] = None
+    ) -> Optional[Tuple[Any, Any]]:
         if not self._queue:
             return None
-        result, meta = self._queue.popleft()
-        return _materialize(result), meta
+        if timeout_s is None:
+            result, meta = self._queue.popleft()
+            return _materialize(result), meta
+        # bounded drain (shutdown): materialize on a helper thread so a
+        # wedged link can't hang the caller — np.asarray of an undelivered
+        # device buffer blocks with no timeout of its own. On timeout the
+        # item stays queued (pending accounting) for the caller to abandon;
+        # the daemon thread dies with the process.
+        result, meta = self._queue[0]
+        box: dict = {}
+
+        def _work() -> None:
+            try:
+                box["v"] = _materialize(result)
+            except Exception as e:  # pragma: no cover - link-dependent
+                box["e"] = e
+
+        t = threading.Thread(target=_work, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            return None
+        self._queue.popleft()
+        if "e" in box:
+            raise box["e"]
+        return box["v"], meta
 
     def flush_one(
         self, timeout_s: Optional[float] = None
     ) -> Optional[Tuple[Any, Any]]:
         """Materialize the oldest in-flight result (blocking), or None.
 
-        ``timeout_s`` (async mode only) bounds the wait; on timeout the
-        result stays in flight and None is returned."""
+        ``timeout_s`` bounds the wait in BOTH modes; on timeout the result
+        stays in flight and None is returned."""
         if self.async_fetch:
             if self._n_inflight == 0:
                 return None
@@ -276,12 +304,12 @@ class StreamExecutor:
                 return self._pop_done_blocking(timeout_s)
             except queue.Empty:
                 return None
-        return self._pop_one()
+        return self._pop_one(timeout_s)
 
     def flush(self, timeout_s: Optional[float] = None) -> List[Tuple[Any, Any]]:
         """Materialize every in-flight result, oldest first.
 
-        ``timeout_s`` bounds the TOTAL drain (async mode): a device/link
+        ``timeout_s`` bounds the TOTAL drain (both modes): a device/link
         that never delivers must not be able to hang shutdown — remaining
         results stay in ``pending`` for the caller to abandon."""
         out: List[Tuple[Any, Any]] = []

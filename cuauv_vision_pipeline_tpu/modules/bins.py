@@ -137,14 +137,17 @@ class BinDetector(ModuleBase):
 
         grp = shm.bins_pose
         matches = self._pose_sift.match(np.asarray(gray), min_match=8)
-        grp.set_field("seq_frames", grp.seq_frames.get() + 1)
+        # ONE group write (= one seq bump) per frame: bench config 3 counts
+        # pose results as seq changes, so a second write would double-count
+        seq_frames = grp.seq_frames.get() + 1
         if not matches:
-            grp.set_field("visible", False)
+            grp.set(visible=False, seq_frames=seq_frames)
             return None
         m = matches[0]
         quad = np.asarray(m["quad"], np.float64)
         grp.set(
             visible=True,
+            seq_frames=seq_frames,
             matches=m["matches"],
             inliers=m["inliers"],
             quad_x1=quad[0, 0],

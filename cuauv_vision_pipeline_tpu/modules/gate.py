@@ -44,11 +44,13 @@ class GateDetector(ModuleBase, HandlerMixin):
     def __init__(self, video_sources=["forward"], tuners=None, **kwargs):
         self._localize = os.environ.get("CUAUV_GATE_LOCALIZE", "") == "1"
         if tuners is None:
-            tuners = (
-                [DoubleTuner("gate_threshold", 0.1, 0, 1)]
-                if self._localize
-                else []
-            )
+            tuners = []
+        if self._localize and not any(
+            t.name == "gate_threshold" for t in tuners
+        ):
+            # GateOBB.write_object reads this tuner every frame — localize
+            # mode must have it regardless of how the tuner list was passed
+            tuners = list(tuners) + [DoubleTuner("gate_threshold", 0.1, 0, 1)]
         ModuleBase.__init__(self, video_sources, tuners, **kwargs)
         if self._localize:
             HandlerMixin.__init__(self, [GateOBB("gate")])
