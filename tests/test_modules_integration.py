@@ -491,6 +491,61 @@ def test_device_fn_latest_only_backlog_drops_stale(unique_direction):
     assert not dropped, f"stale frames {dropped} should have been dropped: {seen}"
 
 
+def test_device_fn_batch_warms_all_lane_traces(unique_direction):
+    """After the first batched dispatch, a background thread pre-compiles
+    every OTHER fresh-lane count (each is its own trace): the first
+    fall-behind event must not hit a cold compile mid-stream. The chain
+    body runs once per trace, so counting executions observes the warmup
+    actually reaching the jit (it is best-effort and swallows errors —
+    a signature drift would otherwise silently disable it)."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.core.base import ModuleBase, device_fn
+    from cuauv_vision_pipeline_tpu.core.bindings.frame_bus import BlockAccessor
+    from cuauv_vision_pipeline_tpu.core.log import log
+
+    seen = []
+    trace_count = [0]
+
+    class Warmed(ModuleBase):
+        @device_fn(unique_direction, batch=3)
+        def chain(self, image, *, tuners, want_posts):
+            trace_count[0] += 1  # trace-time only: once per (posts, nlanes)
+            return {"mean": jnp.mean(image.astype(jnp.float32))}, {}
+
+        def on_device_result(self, result, posts, meta):
+            seen.append(float(result["mean"]))
+
+    writer = BlockAccessor(
+        unique_direction, max_entry_size_bytes=32 * 32 * 3, slot_count=8
+    )
+    module = Warmed([unique_direction], [], fps=50, argv=[])
+    quit_flag = threading.Event()
+    with writer:
+        with module._module_manager:
+            loop = threading.Thread(target=module._loop, args=(quit_flag, log.t))
+            loop.start()
+            try:
+                writer.write_frame(1000, np.full((32, 32, 3), 10, np.uint8))
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and not seen:
+                    time.sleep(0.02)
+                assert seen, "first frame never processed"
+                # keep-up path compiled nlanes=1; the warm thread owes
+                # nlanes=2 and nlanes=3 (each one more chain-body trace)
+                deadline = time.monotonic() + 60
+                while time.monotonic() < deadline and trace_count[0] < 3:
+                    time.sleep(0.05)
+            finally:
+                quit_flag.set()
+                loop.join(timeout=20)
+
+    assert trace_count[0] == 3, (
+        f"expected 3 lane-count traces (1 live + 2 warmed), saw "
+        f"{trace_count[0]} — lane warmup never reached the jit"
+    )
+
+
 def test_device_fn_batch_posts_newest_lane_only(unique_direction):
     """Batched deliveries carry debug posts for the NEWEST lane only: stale
     drained lanes would overwrite the same post blocks with frames no GUI
