@@ -11,11 +11,58 @@
 // Parity target: cv2.findContours point sets (reference utils/feature.py
 // wraps cv2; modules/bins.py + handlers consume the point lists).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstddef>
+#include <cstring>
 #include <vector>
 
 namespace {
+
+// Word-at-a-time row scanning: the labeler's cost is almost entirely the
+// byte scans (skip background, then measure the run), ~1.6 ns/px compiled
+// scalar.  Eight bytes per load with the classic SWAR zero-byte test cuts
+// that ~10x; masks are mostly background so the zero-skip loop does 32
+// bytes per iteration.
+
+inline int64_t scan_zeros(const uint8_t* row, int64_t x, int64_t W) {
+  // first x' >= x with row[x'] != 0 (or W)
+  while (x + 32 <= W) {
+    uint64_t a, b, c, d;
+    std::memcpy(&a, row + x, 8);
+    std::memcpy(&b, row + x + 8, 8);
+    std::memcpy(&c, row + x + 16, 8);
+    std::memcpy(&d, row + x + 24, 8);
+    if (a | b | c | d) break;
+    x += 32;
+  }
+  while (x + 8 <= W) {
+    uint64_t v;
+    std::memcpy(&v, row + x, 8);
+    if (v) {
+      // first nonzero byte (little-endian): trailing zero BITS / 8
+      return x + (__builtin_ctzll(v) >> 3);
+    }
+    x += 8;
+  }
+  while (x < W && !row[x]) ++x;
+  return x;
+}
+
+inline int64_t scan_nonzeros(const uint8_t* row, int64_t x, int64_t W) {
+  // first x' >= x with row[x'] == 0 (or W)
+  constexpr uint64_t LO = 0x0101010101010101ULL;
+  constexpr uint64_t HI = 0x8080808080808080ULL;
+  while (x + 8 <= W) {
+    uint64_t v;
+    std::memcpy(&v, row + x, 8);
+    const uint64_t zero = (v - LO) & ~v & HI;  // high bit set per zero byte
+    if (zero) return x + (__builtin_ctzll(zero) >> 3);
+    x += 8;
+  }
+  while (x < W && row[x]) ++x;
+  return x;
+}
 
 // Moore neighborhood in the same order as utils/contours._MOORE:
 // (dx, dy) pairs — W, SW, S, SE, E, NE, N, NW in image coords (y down).
@@ -166,10 +213,10 @@ int64_t vp_component_runs(const uint8_t* fg, int64_t H, int64_t W,
     int64_t x = 0;
     size_t j = 0;  // two-pointer index into prev_* (both sorted by column)
     while (x < W) {
-      while (x < W && !row[x]) ++x;
+      x = scan_zeros(row, x, W);
       if (x >= W) break;
       const int64_t s = x;
-      while (x < W && row[x]) ++x;
+      x = scan_nonzeros(row, x, W);
       const int64_t e = x;
 
       int32_t lab = 0;
@@ -216,6 +263,72 @@ int64_t vp_component_runs(const uint8_t* fg, int64_t H, int64_t W,
     }
   }
   return n_runs;
+}
+
+// Convex hull (Andrew monotone chain), the native twin of
+// utils/contours.convex_hull.  Bit-equal to the Python loop: same sort
+// order (x primary, y secondary — what np.unique(axis=0) / np.lexsort
+// produce), same exact-duplicate dedup, same `<= 0` cross-product pop
+// (drops collinear points), same output order lower[:-1] + upper[:-1]
+// (CCW in image coords).  All arithmetic is the identical sequence of
+// IEEE double ops (the build has no FMA contraction), so the parity test
+// can require bit-equal vertex arrays on random point sets.
+//
+// pts_xy is n (x, y) float64 pairs (any order, duplicates fine); out_xy
+// must hold at least 2 * n doubles.  Returns the number of hull points
+// written (the dedup'd point count when it is <= 2, matching Python).
+int64_t vp_convex_hull(const double* pts_xy, int64_t n, double* out_xy) {
+  struct P {
+    double x, y;
+  };
+  std::vector<P> p(n);
+  for (int64_t i = 0; i < n; ++i) p[i] = {pts_xy[2 * i], pts_xy[2 * i + 1]};
+  std::sort(p.begin(), p.end(), [](const P& a, const P& b) {
+    return a.x < b.x || (a.x == b.x && a.y < b.y);
+  });
+  p.erase(std::unique(p.begin(), p.end(),
+                      [](const P& a, const P& b) {
+                        return a.x == b.x && a.y == b.y;
+                      }),
+          p.end());
+  const int64_t m = (int64_t)p.size();
+  if (m <= 2) {
+    for (int64_t i = 0; i < m; ++i) {
+      out_xy[2 * i] = p[i].x;
+      out_xy[2 * i + 1] = p[i].y;
+    }
+    return m;
+  }
+  auto cross = [](const P& a, const P& b, const P& c) {
+    return (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x);
+  };
+  std::vector<P> lower, upper;
+  lower.reserve(m);
+  upper.reserve(m);
+  for (int64_t i = 0; i < m; ++i) {
+    while (lower.size() >= 2 &&
+           cross(lower[lower.size() - 2], lower.back(), p[i]) <= 0)
+      lower.pop_back();
+    lower.push_back(p[i]);
+  }
+  for (int64_t i = m - 1; i >= 0; --i) {
+    while (upper.size() >= 2 &&
+           cross(upper[upper.size() - 2], upper.back(), p[i]) <= 0)
+      upper.pop_back();
+    upper.push_back(p[i]);
+  }
+  int64_t k = 0;
+  for (size_t i = 0; i + 1 < lower.size(); ++i) {
+    out_xy[2 * k] = lower[i].x;
+    out_xy[2 * k + 1] = lower[i].y;
+    ++k;
+  }
+  for (size_t i = 0; i + 1 < upper.size(); ++i) {
+    out_xy[2 * k] = upper[i].x;
+    out_xy[2 * k + 1] = upper[i].y;
+    ++k;
+  }
+  return k;
 }
 
 }  // extern "C"

@@ -560,6 +560,41 @@ def approx_poly_dp(contour: np.ndarray, epsilon: float, closed: bool = True) -> 
     return np.round(np.array(out)).astype(np.int32).reshape(-1, 1, 2)
 
 
+_native_hull = _NATIVE_SENTINEL  # lazily resolved; None = unavailable
+
+
+def _load_native_hull():
+    """ctypes handle to vp_convex_hull in libframebus.so, or None.
+
+    A 1:1 native twin of the monotone-chain loop below (same sort order,
+    dedup, `<= 0` pop and output order, the identical sequence of IEEE
+    double ops — bit-equal hulls pinned by tests/test_utils_feature.py).
+    min_area_rect runs per blob in the bins host leg; the Python chain's
+    ~1 ms on a 1000-point contour becomes ~15 us. CUAUV_NATIVE_TRACE=0
+    forces the Python path (same switch as the other imgeom.cpp kernels).
+    """
+    global _native_hull
+    if _native_hull is not _NATIVE_SENTINEL:
+        return _native_hull
+    _native_hull = None
+    if os.environ.get("CUAUV_NATIVE_TRACE", "1") != "0":
+        try:
+            from .. import native as _native_pkg
+
+            lib = ctypes.CDLL(_native_pkg.library_path())
+            fn = lib.vp_convex_hull
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p,  # pts_xy (float64 [n, 2], C-contiguous)
+                ctypes.c_int64,  # n
+                ctypes.c_void_p,  # out_xy (float64, >= 2n doubles)
+            ]
+            _native_hull = fn
+        except Exception:
+            _native_hull = None
+    return _native_hull
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain; returns hull points CCW as [N, 2] float64.
 
@@ -572,6 +607,12 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     collinear boundary points). A 1000-point traced contour shrinks to
     ~2x(rows) candidates, which is what the scalar loop then pays for."""
     pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    fn = _load_native_hull()
+    if fn is not None and len(pts) > 0:
+        pts_c = np.ascontiguousarray(pts)
+        out = np.empty((2 * len(pts_c), 2), dtype=np.float64)
+        n = fn(pts_c.ctypes.data, len(pts_c), out.ctypes.data)
+        return out[:n].copy()
     if len(pts) > 8:
         ys = pts[:, 1]
         yu, inv = np.unique(ys, return_inverse=True)

@@ -215,6 +215,7 @@ def _reset_native_caches():
     CT._native_trace = CT._NATIVE_SENTINEL
     CT._native_trace_all = CT._NATIVE_SENTINEL
     CT._native_runs = CT._NATIVE_SENTINEL
+    CT._native_hull = CT._NATIVE_SENTINEL
 
 
 @pytest.mark.parametrize("seed", [0, 4, 8])
@@ -242,6 +243,34 @@ def test_native_tracer_matches_python(seed, monkeypatch):
     for cb, cn, cp in zip(batch_native, per_call_native, python):
         np.testing.assert_array_equal(cb, cp)
         np.testing.assert_array_equal(cn, cp)
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_native_hull_matches_python(seed, monkeypatch):
+    """vp_convex_hull: bit-equal vertex arrays vs the Python monotone
+    chain on integer grids (heavy duplicates + collinear runs), float
+    clouds, and rounded clusters."""
+    if CT._load_native_hull() is None:
+        pytest.skip("native hull unavailable")
+    r = np.random.default_rng(seed)
+    for trial in range(120):
+        n = int(r.integers(1, 90))
+        kind = trial % 3
+        if kind == 0:
+            pts = r.integers(0, 25, (n, 2)).astype(np.float64)
+        elif kind == 1:
+            pts = r.normal(0.0, 100.0, (n, 2))
+        else:
+            pts = np.round(r.normal(0.0, 4.0, (n, 2)))
+        monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
+        _reset_native_caches()
+        hn = CT.convex_hull(pts)
+        monkeypatch.setenv("CUAUV_NATIVE_TRACE", "0")
+        _reset_native_caches()
+        hp = CT.convex_hull(pts)
+        np.testing.assert_array_equal(hn, hp)
+    monkeypatch.setenv("CUAUV_NATIVE_TRACE", "1")
+    _reset_native_caches()
 
 
 @pytest.mark.parametrize("seed", [1, 6])
