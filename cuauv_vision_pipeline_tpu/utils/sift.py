@@ -52,8 +52,26 @@ def _next_pow2(n: int, lo: int = 64) -> int:
 _PAD_VAL = 1.0e4
 
 
+def prepare_descriptors(arr: np.ndarray, role: str = "query"):
+    """Pad a fixed descriptor set to its power-of-2 bucket and pin it on
+    device ONCE. A SIFT template is the QUERY of every frame's match —
+    re-padding and re-uploading it per frame wastes a host pass plus an
+    H2D transfer per template (SIFT.add_source caches this). Query rows
+    pad with zeros (sliced off after), train rows with the far sentinel
+    (never enter the top-2)."""
+    fill = 0.0 if role == "query" else _PAD_VAL
+    n = len(arr)
+    out = np.full((_next_pow2(n), arr.shape[1]), fill, np.float32)
+    out[:n] = np.asarray(arr, np.float32)
+    return jax.device_put(out), n
+
+
 def match_descriptors(
-    query: np.ndarray, train: np.ndarray, ratio: float = 0.7
+    query: Optional[np.ndarray] = None,
+    train: Optional[np.ndarray] = None,
+    ratio: float = 0.7,
+    *,
+    query_prep=None,
 ) -> List[Tuple[int, int, float]]:
     """Lowe-ratio 2-NN matching -> [(query_idx, train_idx, distance)].
 
@@ -61,14 +79,23 @@ def match_descriptors(
     buckets so the matmul jit compiles O(log N) times total, not once per
     count (a per-frame recompile costs seconds on a remote-attached chip).
     Padded train rows sit at distance ~1e10 and never enter the top-2;
-    padded query rows are sliced off before the ratio test."""
-    if len(query) == 0 or len(train) < 2:
+    padded query rows are sliced off before the ratio test. Pass
+    ``query_prep=prepare_descriptors(q, "query")`` instead of ``query``
+    when the same set is matched repeatedly (skips its per-call
+    pad+upload — SIFT templates take this path)."""
+    if query_prep is not None:
+        q, nq = query_prep
+    else:
+        nq = len(query)
+        q = None
+    nt = len(train)
+    if nq == 0 or nt < 2:
         return []
-    nq, nt = len(query), len(train)
-    dim = query.shape[1]
-    q = np.zeros((_next_pow2(nq), dim), np.float32)
-    q[:nq] = query
-    t = np.full((_next_pow2(nt), dim), _PAD_VAL, np.float32)
+    if q is None:
+        dim = query.shape[1]
+        q = np.zeros((_next_pow2(nq), dim), np.float32)
+        q[:nq] = query
+    t = np.full((_next_pow2(nt), train.shape[1]), _PAD_VAL, np.float32)
     t[:nt] = train
     d2, idx = _distance_topk(q, t)
     d = np.sqrt(np.asarray(d2)[:nq])
@@ -97,6 +124,42 @@ def _homography_from_4(src: np.ndarray, dst: np.ndarray) -> Optional[np.ndarray]
     return H / H[2, 2]
 
 
+def solve_minimal_sets(
+    src: np.ndarray, dst: np.ndarray, iters: int, seed: int
+) -> np.ndarray:
+    """All RANSAC minimal-set candidate homographies at once: 4 distinct
+    indices per candidate, the [iters, 8, 9] DLT systems assembled
+    vectorized, ONE batched LAPACK svd call (the per-candidate Python
+    loop + svd was ~6 ms of the pose leg; batched it is ~1 ms). Returns
+    normalized candidates [K<=iters, 3, 3] (degenerate sets dropped)."""
+    n = len(src)
+    rng = np.random.default_rng(seed)
+    sel = np.argsort(rng.random((iters, n)), axis=1)[:, :4]
+    s4, d4 = src[sel], dst[sel]  # [iters, 4, 2]
+    x, y = s4[..., 0], s4[..., 1]
+    u, v = d4[..., 0], d4[..., 1]
+    zero, one = np.zeros_like(x), np.ones_like(x)
+    rows = np.stack(
+        [
+            np.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], -1),
+            np.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], -1),
+        ],
+        axis=2,
+    )  # [iters, 4, 2, 9]
+    A = rows.reshape(iters, 8, 9)
+    try:
+        _, _, vt = np.linalg.svd(A)
+        Hs_all = vt[:, -1].reshape(iters, 3, 3)
+    except np.linalg.LinAlgError:  # batched non-convergence: per-set retry
+        cands = [_homography_from_4(src[s], dst[s]) for s in sel]
+        cands = [h for h in cands if h is not None]
+        if not cands:
+            return np.empty((0, 3, 3))
+        Hs_all = np.stack(cands)
+    keep = np.abs(Hs_all[:, 2, 2]) >= 1e-12
+    return Hs_all[keep] / Hs_all[keep, 2:3, 2:3]
+
+
 def ransac_homography(
     src_pts: np.ndarray,
     dst_pts: np.ndarray,
@@ -115,14 +178,8 @@ def ransac_homography(
     if n < 4:
         return None, np.zeros(n, bool)
 
-    rng = np.random.default_rng(seed)
-    candidates = []
-    for _ in range(iters):
-        sel = rng.choice(n, 4, replace=False)
-        H = _homography_from_4(src[sel], dst[sel])
-        if H is not None:
-            candidates.append(H)
-    if not candidates:
+    candidates = solve_minimal_sets(src, dst, iters, seed)
+    if len(candidates) == 0:
         return None, np.zeros(n, bool)
 
     # ONE jitted consensus pass over padded fixed-shape buffers: candidates
@@ -130,7 +187,7 @@ def ransac_homography(
     # keeps the earliest), points pad to a power-of-2 bucket with dst=+1e9
     # (never an inlier) — so the executable compiles O(log N) times total
     # instead of per (candidate count, match count) pair.
-    Hs = np.stack(candidates).astype(np.float32)
+    Hs = np.asarray(candidates, np.float32)
     if len(Hs) < iters:
         Hs = np.concatenate([Hs, np.repeat(Hs[-1:], iters - len(Hs), axis=0)])
     nb = _next_pow2(n)
@@ -243,7 +300,15 @@ class SIFT:
 
     def add_source(self, name: str, source: np.ndarray):
         kp, des = detect_and_compute(source)
-        self.sources[name] = {"name": name, "source": source, "kp": kp, "des": des}
+        self.sources[name] = {
+            "name": name,
+            "source": source,
+            "kp": kp,
+            "des": des,
+            # padded + device-resident once: this set is the query of
+            # every frame's match
+            "des_prep": prepare_descriptors(des, "query") if len(des) else None,
+        }
         return kp, des
 
     def add_many(self, **kwargs):
@@ -264,7 +329,9 @@ class SIFT:
         for name, src in self.sources.items():
             if len(src["des"]) < 2 or len(des_img) < 2:
                 continue
-            good = match_descriptors(src["des"], des_img, ratio)
+            good = match_descriptors(
+                None, des_img, ratio, query_prep=src["des_prep"]
+            )
             if len(good) < min_match:
                 continue
             src_pts = np.asarray([src["kp"][q] for q, _, _ in good])

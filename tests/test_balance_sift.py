@@ -158,6 +158,40 @@ def test_sift_matching_buckets_bound_compiles_and_match_exactly():
     assert S._distance_topk._cache_size() <= base + 1  # one 128-bucket compile
 
 
+def test_prepared_query_matches_plain_path():
+    """prepare_descriptors (the template cache SIFT.add_source keeps)
+    returns the exact matches of the pad-per-call path."""
+    rng = np.random.default_rng(5)
+    query = rng.normal(size=(37, 128)).astype(np.float32)
+    train = rng.normal(size=(90, 128)).astype(np.float32)
+    query[:8] = train[20:28] + rng.normal(scale=0.01, size=(8, 128))
+    plain = S.match_descriptors(query, train, ratio=0.75)
+    prep = S.match_descriptors(
+        None, train, ratio=0.75,
+        query_prep=S.prepare_descriptors(query, "query"),
+    )
+    assert plain == prep and len(plain) >= 8
+
+
+def test_ransac_degenerate_minimal_sets_dont_break():
+    """Coincident-point candidates produce rank-deficient DLT systems; the
+    batched solve must still recover H from the sane candidates."""
+    rng = np.random.default_rng(3)
+    src = np.repeat(rng.random((8, 2)) * 100, 8, axis=0)  # heavy duplicates
+    H_true = np.array([[1.1, 0.0, 4.0], [0.02, 0.95, -2.0], [0.0, 0.0, 1.0]])
+    ones = np.concatenate([src, np.ones((len(src), 1))], axis=1)
+    proj = ones @ H_true.T
+    dst = proj[:, :2] / proj[:, 2:3]
+    H, mask = S.ransac_homography(src, dst, thresh=2.0, iters=64, seed=2)
+    assert H is not None and mask.sum() >= len(src) - 4
+    test = np.array([[30.0, 70.0, 1.0]])
+    p_true = test @ H_true.T
+    p_got = test @ H.T
+    np.testing.assert_allclose(
+        p_true[:, :2] / p_true[:, 2:], p_got[:, :2] / p_got[:, 2:], atol=0.5
+    )
+
+
 def test_ransac_padding_matches_unpadded_consensus():
     """RANSAC consensus over padded buffers returns the same inliers as the
     geometry implies: points mapped by a known H are inliers, outliers not."""
