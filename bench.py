@@ -1082,6 +1082,79 @@ def sift_pose_leg_bench() -> None:
         ),
     )
 
+    # --- device-detector mode (the bins module DEFAULT): detect + describe
+    # + template 2-NN all inside one traced graph (ops/feature.
+    # detect_describe + utils/sift.device_match_topk) — the cv2 host
+    # detect leg disappears and only keypoints + top-2 buffers (~6 KB,
+    # riding the module's existing packed fetch) cross the link.
+    from cuauv_vision_pipeline_tpu.ops.feature import detect_describe
+    from cuauv_vision_pipeline_tpu.utils.sift import device_match_topk
+
+    sift_dev = S.SIFT(detector="device")
+    sift_dev.add_source("bin", template)
+    prep = sift_dev.sources["bin"]["des_prep"]
+    g32 = jax.device_put(scene.astype(np.float32))
+
+    @jax.jit
+    def pose_chain(g):
+        def body(c, _):
+            _, des, n = detect_describe(g + c, 512)
+            d2, _ = device_match_topk(prep, des, n)
+            return d2[0, 0] * jnp.float32(1e-30), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return c
+
+    jax.block_until_ready(pose_chain(g32))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(pose_chain(g32))
+    TERMS["sift_pose_chain_step_ms"] = (time.perf_counter() - t0) / K * 1000
+
+    # the device-mode match actually recovers the pose (sanity, not timing)
+    from cuauv_vision_pipeline_tpu.ops.feature import detect_describe_jit
+
+    kp_d, des_d, n_d = detect_describe_jit(jnp.asarray(scene), 512)
+    d2_d, idx_d = device_match_topk(prep, des_d, n_d)
+    res_dev = sift_dev.match_device_topk(
+        "bin", np.asarray(d2_d), np.asarray(idx_d), np.asarray(kp_d),
+        min_match=8,
+    )
+    dev_inliers = res_dev[0]["inliers"] if res_dev else 0
+
+    fetch_mb = (512 * 2 * 4 + prep[0].shape[0] * 2 * 8) / 1e6
+    total_dev = (
+        TERMS["sift_pose_chain_step_ms"]
+        + xfer(fetch_mb)
+        + TERMS["sift_ratio_host_ms"]
+        + TERMS["sift_solve_host_ms"]
+        + xfer(ransac_up_mb)
+        + TERMS["sift_score_step_ms"]
+        + xfer(mask_mb)
+        + TERMS.get("shm_set_ms", 0.0)
+    )
+    emit(
+        "derived_pcie_p50_ms_config3_pose_device",
+        round(total_dev, 2),
+        "ms",
+        chain_step_ms=round(TERMS["sift_pose_chain_step_ms"], 4),
+        ratio_host_ms=round(TERMS["sift_ratio_host_ms"], 4),
+        solve_host_ms=round(TERMS["sift_solve_host_ms"], 3),
+        score_step_ms=round(TERMS["sift_score_step_ms"], 4),
+        inliers=int(dev_inliers),
+        vs_cv2_detect_ms=round(TERMS["sift_detect_ms"], 1),
+        link_model=(
+            f"pcie-class link model: {PCIE_GBPS} GB/s effective + "
+            f"{PCIE_OH_MS} ms/transfer"
+        ),
+        note=(
+            "bins module default pose flow: detect+describe+template-match "
+            "in the SAME dispatch as the mask chain (kp + top-2 buffers "
+            "ride the existing packed fetch); host work is ratio test + "
+            "RANSAC. The cv2-detect line above is the reference-parity "
+            "mode (CUAUV_SIFT_DETECTOR=cv2)."
+        ),
+    )
+
 
 # ---------------------------------------------------------------------------
 # topology configs (capture process -> bus -> module process -> shm)

@@ -975,6 +975,14 @@ class ModuleBase(ABC):
         quit_flag = threading.Event()
 
         def sigh(*args):
+            if quit_flag.is_set():
+                # second SIGINT: the loop thread never came back — it is
+                # blocked inside a device call that will not return (e.g. a
+                # wedged remote-attached transport; observed live). Force
+                # exit so the operator regains the process; shm blocks are
+                # reclaimed by the next startup's create path.
+                logger("Caught signal twice: force exit without cleanup.", True)
+                os._exit(130)
             logger(
                 f"Caught signal: {args[0]}. It may take up to 2 seconds to "
                 "clean up.",

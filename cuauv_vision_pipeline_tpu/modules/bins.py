@@ -67,9 +67,26 @@ class BinDetector(ModuleBase):
             from ..ops.color_np import bgr_to_gray_np
             from ..utils.sift import SIFT
 
+            # "device" (default): keypoints + descriptors computed INSIDE
+            # the bins chain (ops/feature.detect_describe) and shipped on
+            # the packed fetch — no host cv2.SIFT pass (236 ms/frame at
+            # 720p measured) and no gray-frame fetch. "cv2" restores the
+            # reference's exact detector (reference utils/sift.py:24-30).
+            self._pose_detector = os.environ.get(
+                "CUAUV_SIFT_DETECTOR", "device"
+            )
             template = _load_template(template_spec)
-            self._pose_sift = SIFT()
+            self._pose_sift = SIFT(detector=self._pose_detector)
             self._pose_sift.add_source("bin", bgr_to_gray_np(template))
+            # compile every match/score bucket NOW: a lazy bucket compile
+            # mid-loop (match count crossing a power of 2) stalls the loop
+            # for the remote-compile latency and has deadlocked against
+            # the chain executor's in-flight dispatch (see SIFT.warm)
+            self._pose_sift.warm(
+                scene_max_keypoints=0
+                if self._pose_detector == "device"
+                else 1024
+            )
             from ..core import shm
 
             shm.bins_pose.set(visible=False, matches=0, inliers=0, seq_frames=0)
@@ -91,7 +108,26 @@ class BinDetector(ModuleBase):
         cleaned = M.open_morph(mask, M.rect_kernel(5))
         result = {"cleaned": cleaned}
         if self._pose_sift is not None:  # trace-time constant
-            result["gray"] = C.bgr_to_gray(img)
+            gray = C.bgr_to_gray(img)
+            if self._pose_detector == "device":
+                # keypoint detect + describe + template 2-NN match all in
+                # the SAME dispatch as the mask (ops/feature.detect_describe
+                # + utils/sift.device_match_topk with the template closed
+                # into the graph): the packed fetch carries keypoints [K,2]
+                # + top-2 buffers (~6 KB) instead of the 921 KB gray frame
+                # a host detector needs; host work is ratio test + RANSAC
+                from ..ops.feature import detect_describe
+                from ..utils.sift import device_match_topk
+
+                kp, des, n = detect_describe(gray)
+                d2, idx = device_match_topk(
+                    self._pose_sift.sources["bin"]["des_prep"], des, n
+                )
+                result["kp"] = kp
+                result["pose_d2"] = d2
+                result["pose_idx"] = idx
+            else:
+                result["gray"] = gray
         posts = {}
         if want_posts:
             # overlay = 0.7*img + 0.3*mask_bgr (the reference's viz)
@@ -115,8 +151,10 @@ class BinDetector(ModuleBase):
                 valid_rects.append(rect)
 
         pose_quad = None
-        if self._pose_sift is not None and "gray" in result:
-            pose_quad = self._estimate_pose(result["gray"], meta)
+        if self._pose_sift is not None and (
+            "gray" in result or "pose_d2" in result
+        ):
+            pose_quad = self._estimate_pose(result, meta)
 
         overlayed = posts.get("overlay")
         if overlayed is not None:
@@ -131,12 +169,23 @@ class BinDetector(ModuleBase):
                 )
             self.post("bins", overlayed)
 
-    def _estimate_pose(self, gray, meta):
+    def _estimate_pose(self, result, meta):
         """SIFT template match -> homography quad -> shm.bins_pose."""
         from ..core import shm
 
         grp = shm.bins_pose
-        matches = self._pose_sift.match(np.asarray(gray), min_match=8)
+        if "pose_d2" in result:  # device detector: match rode the fetch
+            matches = self._pose_sift.match_device_topk(
+                "bin",
+                result["pose_d2"],
+                result["pose_idx"],
+                np.asarray(result["kp"]),
+                min_match=8,
+            )
+        else:
+            matches = self._pose_sift.match(
+                np.asarray(result["gray"]), min_match=8
+            )
         # ONE group write (= one seq bump) per frame: bench config 3 counts
         # pose results as seq changes, so a second write would double-count
         seq_frames = grp.seq_frames.get() + 1

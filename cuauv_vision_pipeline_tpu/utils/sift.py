@@ -17,13 +17,20 @@ solved and scored in one batched device pass (`ransac_homography`).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.jaxconfig import ensure_compile_cache
 from .draw import Color, draw_circle, draw_polylines
+
+# template description + SIFT.warm compile at MODULE INIT, before the
+# device-fn machinery (engine/executor) would configure the persistent
+# cache — without this every module startup pays cold remote compiles
+ensure_compile_cache()
 
 
 @jax.jit
@@ -37,6 +44,21 @@ def _distance_topk(query: jnp.ndarray, train: jnp.ndarray):
     d2 = jnp.maximum(q2 + t2 - 2.0 * cross, 0.0)
     neg, idx = jax.lax.top_k(-d2, 2)
     return -neg, idx
+
+
+def device_match_topk(query_prep, des: jnp.ndarray, n_valid) -> tuple:
+    """Traced 2-NN match against a device-resident template, for use
+    INSIDE a device chain (e.g. the bins module's pose path): the template
+    query (``prepare_descriptors`` output) closes into the graph as a
+    constant, scene descriptor rows past ``n_valid`` are masked to the far
+    sentinel, and only the [Nq, 2] top-2 distance/index buffers ride the
+    packed fetch — descriptors never leave the chip. Finish on host with
+    ``SIFT.match_device_topk``."""
+    q, _ = query_prep
+    train = jnp.where(
+        (jnp.arange(des.shape[0]) < n_valid)[:, None], des, _PAD_VAL
+    )
+    return _distance_topk(q, train)
 
 
 def _next_pow2(n: int, lo: int = 64) -> int:
@@ -273,33 +295,69 @@ def _builtin_detect_and_compute(gray: np.ndarray, max_keypoints: int = 500):
     return np.asarray(kps, np.float32), np.asarray(descs, np.float32)
 
 
-def detect_and_compute(gray: np.ndarray, max_keypoints: int = 500):
-    """Keypoints [N, 2] (x, y) + descriptors [N, D]. Uses OpenCV SIFT when
-    present (same detector as the reference), else the built-in fallback."""
-    try:
-        import cv2
+def _device_detect_and_compute(gray: np.ndarray, max_keypoints: int = 512):
+    """TPU detect+describe (ops/feature.detect_describe): one device graph
+    for Shi-Tomasi corners + 128-D gradient-histogram descriptors. The
+    measured cv2.SIFT host leg is ~236 ms/frame at 720p; this is ~1 ms of
+    device time. Single-scale (planar-target matching)."""
+    from ..ops.feature import detect_describe_jit
 
-        sift = cv2.SIFT_create(nfeatures=max_keypoints)
-        kp, des = sift.detectAndCompute(np.asarray(gray), None)
-        if des is None or len(kp) == 0:
-            return np.empty((0, 2), np.float32), np.empty((0, 128), np.float32)
-        pts = np.asarray([k.pt for k in kp], np.float32)
-        return pts, des.astype(np.float32)
-    except Exception:
-        return _builtin_detect_and_compute(np.asarray(gray), max_keypoints)
+    kp, des, n = detect_describe_jit(jnp.asarray(gray), max_keypoints)
+    n = int(n)
+    return np.asarray(kp)[:n], np.asarray(des)[:n]
+
+
+def detect_and_compute(
+    gray: np.ndarray, max_keypoints: int = 500, method: Optional[str] = None
+):
+    """Keypoints [N, 2] (x, y) + descriptors [N, D].
+
+    method (default env CUAUV_SIFT_DETECTOR, else "cv2"):
+      * "cv2"     — OpenCV SIFT, the reference's own detector
+        (reference utils/sift.py:24-30); host CPU, scale-invariant.
+      * "device"  — ops/feature.detect_describe on the TPU (single-scale,
+        ~200x cheaper per frame; descriptors are NOT interchangeable with
+        cv2's, so template and scene must use the same method).
+      * "builtin" — host fallback with device-mode-compatible descriptors
+        (used automatically when cv2 is absent)."""
+    method = method or os.environ.get("CUAUV_SIFT_DETECTOR", "cv2")
+    if method == "device":
+        return _device_detect_and_compute(np.asarray(gray))
+    if method == "cv2":
+        try:
+            import cv2
+
+            sift = cv2.SIFT_create(nfeatures=max_keypoints)
+            kp, des = sift.detectAndCompute(np.asarray(gray), None)
+            if des is None or len(kp) == 0:
+                return (
+                    np.empty((0, 2), np.float32),
+                    np.empty((0, 128), np.float32),
+                )
+            pts = np.asarray([k.pt for k in kp], np.float32)
+            return pts, des.astype(np.float32)
+        except Exception:
+            pass
+    return _builtin_detect_and_compute(np.asarray(gray), max_keypoints)
 
 
 class SIFT:
-    """Named-source feature matcher (reference utils/sift.py:14-142)."""
+    """Named-source feature matcher (reference utils/sift.py:14-142).
 
-    def __init__(self, checks: int = 50):
+    ``detector`` picks the keypoint front end for BOTH templates and
+    scenes (descriptors from different detectors don't mix): "cv2" for
+    the reference's own SIFT, "device" for the TPU detect_describe path
+    (~200x cheaper per frame), None to follow CUAUV_SIFT_DETECTOR."""
+
+    def __init__(self, checks: int = 50, detector: Optional[str] = None):
         # `checks` tuned FLANN precision in the reference; the exact 2-NN
         # matmul here is always exhaustive (strictly more precise).
         self.checks = checks
+        self.detector = detector
         self.sources: Dict[str, dict] = {}
 
     def add_source(self, name: str, source: np.ndarray):
-        kp, des = detect_and_compute(source)
+        kp, des = detect_and_compute(source, method=self.detector)
         self.sources[name] = {
             "name": name,
             "source": source,
@@ -315,6 +373,54 @@ class SIFT:
         for name, source in kwargs.items():
             self.add_source(name, source)
 
+    def warm(self, scene_max_keypoints: int = 1024, iters: int = 256) -> None:
+        """Pre-compile every executable shape this matcher can reach, so
+        no compile ever happens mid-match. Both jits here bucket their
+        inputs to powers of two, which makes the executable set small and
+        enumerable — but a LAZY bucket compile lands in the middle of a
+        module's loop thread (match counts cross a power-of-2 boundary as
+        the target moves), stalling the loop for the remote-compile
+        latency; concurrent with an in-flight async chain dispatch it has
+        deadlocked the tunnel client outright (observed live: bins pose,
+        frame ~98, 128->64 match-bucket flip, loop thread never returned).
+        Call once at module init, before the chain executor starts.
+
+        * _ransac_score: one executable per match-count bucket, bounded
+          by the largest template's keypoint count.
+        * _distance_topk: one per scene-descriptor bucket, bounded by
+          ``scene_max_keypoints`` (host-detector scenes; pass 0 to skip —
+          the device detector's 2-NN runs inside the caller's chain at a
+          fixed K and never varies)."""
+        import jax
+
+        max_nq = max((len(s["des"]) for s in self.sources.values()), default=0)
+        if max_nq < 4:
+            return
+        eye = np.tile(np.eye(3, dtype=np.float32)[None], (iters, 1, 1))
+        nb = 64
+        while True:
+            s = np.ones((nb, 3), np.float32)
+            d = np.zeros((nb, 2), np.float32)
+            jax.block_until_ready(_ransac_score(eye, s, d, np.float32(5.0)))
+            if nb >= _next_pow2(max_nq):
+                break
+            nb *= 2
+        if scene_max_keypoints <= 0:
+            return
+        dim = next(iter(self.sources.values()))["des"].shape[1]
+        nt = 64
+        while True:
+            for src in self.sources.values():
+                if src["des_prep"] is None:
+                    continue
+                t = np.full((nt, dim), _PAD_VAL, np.float32)
+                jax.block_until_ready(
+                    _distance_topk(src["des_prep"][0], t)
+                )
+            if nt >= _next_pow2(scene_max_keypoints):
+                break
+            nt *= 2
+
     def match(
         self,
         img: np.ndarray,
@@ -324,7 +430,24 @@ class SIFT:
     ) -> List[dict]:
         """Find all sources in ``img``. Returns one dict per detected source
         with name/homography/quad/matches; optionally draws the quads."""
-        kp_img, des_img = detect_and_compute(img)
+        kp_img, des_img = detect_and_compute(img, method=self.detector)
+        return self.match_with_features(
+            kp_img, des_img, min_match=min_match, ratio=ratio,
+            draw_on=img if draw else None,
+        )
+
+    def match_with_features(
+        self,
+        kp_img: np.ndarray,
+        des_img: np.ndarray,
+        min_match: int = 10,
+        ratio: float = 0.7,
+        draw_on: Optional[np.ndarray] = None,
+    ) -> List[dict]:
+        """match() on PRE-COMPUTED scene features — the bins module's
+        device-detector path hands in keypoints/descriptors that rode the
+        chain's packed fetch (computed on device inside the same dispatch
+        as the mask), so the pose flow adds no extra detect pass."""
         results: List[dict] = []
         for name, src in self.sources.items():
             if len(src["des"]) < 2 or len(des_img) < 2:
@@ -332,32 +455,70 @@ class SIFT:
             good = match_descriptors(
                 None, des_img, ratio, query_prep=src["des_prep"]
             )
-            if len(good) < min_match:
-                continue
-            src_pts = np.asarray([src["kp"][q] for q, _, _ in good])
-            dst_pts = np.asarray([kp_img[t] for _, t, _ in good])
-            H, mask = ransac_homography(src_pts, dst_pts)
-            if H is None:
-                continue
-            h, w = src["source"].shape[:2]
-            corners = np.asarray(
-                [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float64
-            )
-            ones = np.concatenate([corners, np.ones((4, 1))], axis=1)
-            proj = ones @ H.T
-            quad = (proj[:, :2] / proj[:, 2:3]).astype(np.int32)
-            results.append(
-                {
-                    "name": name,
-                    "homography": H,
-                    "quad": quad,
-                    "matches": len(good),
-                    "inliers": int(mask.sum()),
-                }
-            )
-            if draw:
-                draw_transformed_box(img, quad)
+            r = self._finish(name, good, kp_img, min_match, draw_on)
+            if r is not None:
+                results.append(r)
         return results
+
+    def match_device_topk(
+        self,
+        name: str,
+        d2: np.ndarray,
+        idx: np.ndarray,
+        kp_img: np.ndarray,
+        min_match: int = 10,
+        ratio: float = 0.7,
+    ) -> List[dict]:
+        """Finish a match whose 2-NN search already ran INSIDE a device
+        chain (``device_match_topk``): the packed fetch carried only the
+        top-2 distance/index buffers (~2 KB) and the keypoint coordinates
+        — no descriptors ever cross the link. Host work is the ratio test
+        + RANSAC."""
+        src = self.sources[name]
+        nq = src["des_prep"][1]
+        d = np.sqrt(np.maximum(np.asarray(d2)[:nq], 0.0))
+        ix = np.asarray(idx)[:nq]
+        sel = d[:, 0] < ratio * d[:, 1]
+        good = [
+            (int(i), int(ix[i, 0]), float(d[i, 0]))
+            for i in np.nonzero(sel)[0]
+        ]
+        r = self._finish(name, good, kp_img, min_match)
+        return [r] if r is not None else []
+
+    def _finish(
+        self,
+        name: str,
+        good: List[Tuple[int, int, float]],
+        kp_img: np.ndarray,
+        min_match: int,
+        draw_on: Optional[np.ndarray] = None,
+    ) -> Optional[dict]:
+        """Ratio-tested matches -> RANSAC homography -> projected quad."""
+        src = self.sources[name]
+        if len(good) < min_match:
+            return None
+        src_pts = np.asarray([src["kp"][q] for q, _, _ in good])
+        dst_pts = np.asarray([kp_img[t] for _, t, _ in good])
+        H, mask = ransac_homography(src_pts, dst_pts)
+        if H is None:
+            return None
+        h, w = src["source"].shape[:2]
+        corners = np.asarray(
+            [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], np.float64
+        )
+        ones = np.concatenate([corners, np.ones((4, 1))], axis=1)
+        proj = ones @ H.T
+        quad = (proj[:, :2] / proj[:, 2:3]).astype(np.int32)
+        if draw_on is not None:
+            draw_transformed_box(draw_on, quad)
+        return {
+            "name": name,
+            "homography": H,
+            "quad": quad,
+            "matches": len(good),
+            "inliers": int(mask.sum()),
+        }
 
 
 def draw_transformed_box(

@@ -210,3 +210,24 @@ def test_ransac_padding_matches_unpadded_consensus():
     reproj = (ones @ H.T)
     reproj = reproj[:, :2] / reproj[:, 2:3]
     assert np.abs(reproj[:30] - dst[:30]).max() < 1.0
+
+
+def test_sift_warm_precompiles_all_buckets():
+    """SIFT.warm(): after warming, no match() at ANY scene size or match
+    count may trigger a new executable compile — a lazy bucket compile
+    mid-loop stalls a module's loop thread (and has deadlocked against an
+    in-flight chain dispatch on the tunnel harness)."""
+    rng = np.random.default_rng(21)
+    source = rng.integers(0, 255, (80, 100), dtype=np.uint8)
+    sift = S.SIFT()
+    sift.add_source("target", source)
+    sift.warm(scene_max_keypoints=1024)
+    base_t = S._distance_topk._cache_size()
+    base_r = S._ransac_score._cache_size()
+    for shape, paste in [((120, 150), (10, 20)), ((230, 310), (90, 120))]:
+        scene = rng.integers(0, 255, shape, dtype=np.uint8)
+        scene[paste[0] : paste[0] + 80, paste[1] : paste[1] + 100] = source
+        res = sift.match(scene, min_match=8)
+        assert len(res) == 1
+    assert S._distance_topk._cache_size() == base_t
+    assert S._ransac_score._cache_size() == base_r

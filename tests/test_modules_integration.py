@@ -389,16 +389,21 @@ def test_gate_localize_runs_full_handler(monkeypatch):
     assert "gate handler" in m._post_queue
 
 
-def test_bins_sift_pose_estimation(monkeypatch):
-    """CUAUV_BINS_POSE_TEMPLATE=builtin: the bins chain carries a gray
-    plane and the SIFT pose path recovers the pasted bin plate's quad
-    (BASELINE config 3's 'pose estimation with utils/feature + sift')."""
+@pytest.mark.parametrize("detector", ["device", "cv2"])
+def test_bins_sift_pose_estimation(monkeypatch, detector):
+    """CUAUV_BINS_POSE_TEMPLATE=builtin: the SIFT pose path recovers the
+    pasted bin plate's quad (BASELINE config 3's 'pose estimation with
+    utils/feature + sift'). detector="device" (the default) runs detect +
+    describe + template 2-NN INSIDE the chain (only top-2 buffers ride the
+    fetch); detector="cv2" is the reference's own host SIFT over a fetched
+    gray plane."""
     import math
 
     import jax
     import numpy as np
 
     monkeypatch.setenv("CUAUV_BINS_POSE_TEMPLATE", "builtin")
+    monkeypatch.setenv("CUAUV_SIFT_DETECTOR", detector)
     from cuauv_vision_pipeline_tpu.capture_sources.synthetic import (
         bin_texture,
         bins_frame,
@@ -415,7 +420,11 @@ def test_bins_sift_pose_estimation(monkeypatch):
     res, posts = m.bins_chain(jax.device_put(frame), tuners={}, want_posts=True)
     res = {k: np.asarray(v) for k, v in res.items()}
     posts = {k: np.asarray(v) for k, v in posts.items()}
-    assert "gray" in res  # rides the packed fetch for the host detector
+    if detector == "device":
+        # detect+describe+match rode the dispatch; no gray/descriptor fetch
+        assert "pose_d2" in res and "kp" in res and "gray" not in res
+    else:
+        assert "gray" in res  # rides the packed fetch for the host detector
 
     m._video_metadata["forward"] = VideoSourceMetadata()
     m._video_metadata["forward"].update(frame, 0)

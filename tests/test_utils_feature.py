@@ -333,3 +333,82 @@ def test_host_shims_reuse_one_jit_across_parameter_values():
     UT.translate(img, -2, 3)
     assert len([k for k in _JITS if k[0] == "warp"]) == 1
     assert len(_JITS) <= before + 1
+
+
+# --- device keypoint detect + describe (ops/feature.detect_describe) --------
+
+
+def test_describe_at_matches_builtin_descriptor_math():
+    """The device descriptor (ops/feature.describe_at) computes the same
+    128-D gradient-histogram descriptor as the host fallback loop
+    (utils/sift._builtin_detect_and_compute), for the same keypoints."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.ops.feature import describe_at
+    from cuauv_vision_pipeline_tpu.utils.sift import (
+        _builtin_detect_and_compute,
+    )
+
+    # smooth imagery: thresholded blobs put many gradient angles EXACTLY on
+    # orientation-bin boundaries, where a 1-ulp atan2 difference between
+    # numpy and XLA flips the bin — generic smooth gradients don't
+    rng = np.random.default_rng(9)
+    gray = np.kron(
+        rng.integers(40, 216, (15, 20)).astype(np.uint8), np.ones((8, 8), np.uint8)
+    )
+    gray = (gray.astype(np.float32) + rng.normal(0, 2, gray.shape)).clip(
+        0, 255
+    ).astype(np.uint8)
+    kps, descs = _builtin_detect_and_compute(gray, max_keypoints=64)
+    assert len(kps) >= 10
+    ys = jnp.asarray(kps[:, 1].astype(np.int32))
+    xs = jnp.asarray(kps[:, 0].astype(np.int32))
+    got = np.asarray(describe_at(jnp.asarray(gray), ys, xs))
+    cos = np.sum(got * descs, axis=1)
+    assert np.all(cos > 0.99) and np.mean(cos > 0.999) > 0.9
+
+
+def test_detect_describe_spacing_validity_and_order():
+    """detect_describe returns valid rows first (strongest response
+    order), keypoints >= min_distance apart, inside the descriptor
+    border, with unit (or zero) descriptor rows."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.ops.feature import detect_describe_jit
+
+    gray = _blobs(3, shape=(144, 192))
+    kp, des, n = (np.asarray(a) for a in detect_describe_jit(
+        jnp.asarray(gray), 128, 0.01, 8
+    ))
+    n = int(n)
+    assert 4 <= n <= 128
+    valid_kp = kp[:n]
+    assert np.all(valid_kp[:, 0] >= 8) and np.all(valid_kp[:, 0] < 192 - 8)
+    assert np.all(valid_kp[:, 1] >= 8) and np.all(valid_kp[:, 1] < 144 - 8)
+    # pairwise spacing >= min_distance
+    d2 = ((valid_kp[:, None, :] - valid_kp[None, :, :]) ** 2).sum(-1)
+    d2[np.arange(n), np.arange(n)] = 1e9
+    assert d2.min() >= 8 * 8
+    # rows past n are sentinels
+    assert np.all(kp[n:] == -1.0) and np.all(des[n:] == 0.0)
+    norms = np.linalg.norm(des[:n], axis=1)
+    assert np.all((np.abs(norms - 1) < 1e-3) | (norms == 0))
+
+
+def test_device_detector_sift_finds_embedded_source():
+    """SIFT(detector="device"): the all-on-device detect+describe front
+    end recovers an embedded planar target's quad, like the cv2 path."""
+    from cuauv_vision_pipeline_tpu.utils.sift import SIFT
+
+    rng = np.random.default_rng(12)
+    scene = rng.integers(0, 255, (200, 260), dtype=np.uint8)
+    source = rng.integers(0, 255, (80, 100), dtype=np.uint8)
+    scene[40:120, 60:160] = source
+
+    sift = SIFT(detector="device")
+    sift.add_source("target", source)
+    results = sift.match(scene, min_match=8)
+    assert len(results) == 1
+    quad = results[0]["quad"]
+    assert abs(quad[0][0] - 60) < 6 and abs(quad[0][1] - 40) < 6
+    assert abs(quad[2][0] - 159) < 6 and abs(quad[2][1] - 119) < 6
