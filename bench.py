@@ -926,24 +926,25 @@ def sift_pose_leg_bench() -> None:
 
     scene = bgr_to_gray_np(bins_frame((720, 1280), 0.3))
     template = bgr_to_gray_np(np.asarray(bin_texture()))
-    sift = S.SIFT()
+    # detector pinned to cv2: this section is the REFERENCE-PARITY line;
+    # an exported CUAUV_SIFT_DETECTOR=device must not silently swap the
+    # 236 ms host leg for the ~1 ms device one
+    sift = S.SIFT(detector="cv2")
     kp_t, _ = sift.add_source("bin", template)
 
     # host leg: scene keypoint detect+describe (pure host, every frame)
-    kp_s, des_s = S.detect_and_compute(scene)  # warm
+    kp_s, des_s = S.detect_and_compute(scene, method="cv2")  # warm
     t0 = time.perf_counter()
     N = 10
     for _ in range(N):
-        kp_s, des_s = S.detect_and_compute(scene)
+        kp_s, des_s = S.detect_and_compute(scene, method="cv2")
     TERMS["sift_detect_ms"] = (time.perf_counter() - t0) / N * 1000
 
     # real padded shapes (template query is device-resident: add_source
     # pins it once, so NO per-frame upload for the template side)
     q_dev, nq = sift.sources["bin"]["des_prep"]
     nt = len(des_s)
-    t_pad = np.full((S._next_pow2(nt), des_s.shape[1]), S._PAD_VAL, np.float32)
-    t_pad[:nt] = des_s
-    t_dev = jax.device_put(t_pad)
+    t_dev, _ = S.prepare_descriptors(des_s, "train")
     jax.block_until_ready((q_dev, t_dev))
 
     # device leg: descriptor-match step (dependence-chained inside ONE jit
@@ -965,8 +966,8 @@ def sift_pose_leg_bench() -> None:
     TERMS["sift_match_step_ms"] = (time.perf_counter() - t0) / K * 1000
 
     # ratio-test epilogue on host (numpy over the fetched top-2 buffers)
-    d2_np = np.asarray(S._distance_topk(q_dev, t_dev)[0])
-    idx_np = np.asarray(S._distance_topk(q_dev, t_dev)[1])
+    d2_dev, idx_dev = S._distance_topk(q_dev, t_dev)
+    d2_np, idx_np = np.asarray(d2_dev), np.asarray(idx_dev)
 
     def epilogue():
         d = np.sqrt(d2_np[:nq])
@@ -1008,6 +1009,10 @@ def sift_pose_leg_bench() -> None:
     TERMS["sift_solve_host_ms"] = solve_ms + refit_ms
 
     # device leg: consensus score step (dependence-chained)
+    if len(cands) == 0:  # all minimal sets degenerate (collinear matches)
+        log("sift pose legs: zero usable RANSAC candidates; "
+            "skipping the score step + derivation")
+        return
     Hs = np.asarray(cands[:256], np.float32)
     if len(Hs) < 256:
         Hs = np.concatenate([Hs, np.repeat(Hs[-1:], 256 - len(Hs), axis=0)])
@@ -1037,7 +1042,7 @@ def sift_pose_leg_bench() -> None:
         return PCIE_OH_MS + mb / (PCIE_GBPS * 1000.0)
 
     gray_mb = 720 * 1280 / 1e6  # gray frame rides config 3's packed fetch
-    desc_mb = t_pad.nbytes / 1e6  # scene descriptors up (template cached)
+    desc_mb = t_dev.nbytes / 1e6  # scene descriptors up (template cached)
     topk_mb = q_dev.shape[0] * 2 * 8 / 1e6  # d2 f32 + idx i32 back
     ransac_up_mb = (Hs.nbytes + s_buf.nbytes + d_buf.nbytes) / 1e6
     mask_mb = nb / 1e6

@@ -980,15 +980,17 @@ class ModuleBase(ABC):
                 # blocked inside a device call that will not return (e.g. a
                 # wedged remote-attached transport; observed live). Force
                 # exit so the operator regains the process; shm blocks are
-                # reclaimed by the next startup's create path.
-                logger("Caught signal twice: force exit without cleanup.", True)
+                # reclaimed by the next startup's create path. Only
+                # async-signal-safe calls here: the first handler may have
+                # been interrupted INSIDE logger()'s non-reentrant lock.
+                os.write(2, b"\nCaught signal twice: force exit without cleanup.\n")
                 os._exit(130)
+            quit_flag.set()  # before logging: a nested SIGINT must see it
             logger(
                 f"Caught signal: {args[0]}. It may take up to 2 seconds to "
                 "clean up.",
                 self._verbose,
             )
-            quit_flag.set()
 
         logger(f"Target FPS = {self._fps}", self._verbose)
 

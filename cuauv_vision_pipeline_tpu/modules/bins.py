@@ -77,7 +77,24 @@ class BinDetector(ModuleBase):
             )
             template = _load_template(template_spec)
             self._pose_sift = SIFT(detector=self._pose_detector)
-            self._pose_sift.add_source("bin", bgr_to_gray_np(template))
+            kp_t, _ = self._pose_sift.add_source(
+                "bin", bgr_to_gray_np(template)
+            )
+            if self._pose_sift.sources["bin"]["des_prep"] is None:
+                # featureless template: the host path degrades gracefully
+                # (match_with_features' <2-descriptors guard) but the
+                # device chain would dereference des_prep — disable pose
+                # loudly instead of dying on the first frame
+                from ..core.log import log
+
+                log.vision.modules.bins(
+                    f"pose template {template_spec!r} yielded "
+                    f"{len(kp_t)} keypoint(s); pose estimation DISABLED "
+                    "(need >= 2 — use a textured template)",
+                    True,
+                )
+                self._pose_sift = None
+                return
             # compile every match/score bucket NOW: a lazy bucket compile
             # mid-loop (match count crossing a power of 2) stalls the loop
             # for the remote-compile latency and has deadlocked against

@@ -54,6 +54,12 @@ def device_match_topk(query_prep, des: jnp.ndarray, n_valid) -> tuple:
     sentinel, and only the [Nq, 2] top-2 distance/index buffers ride the
     packed fetch — descriptors never leave the chip. Finish on host with
     ``SIFT.match_device_topk``."""
+    if query_prep is None:
+        raise ValueError(
+            "device_match_topk: template has no descriptors (add_source "
+            "stored des_prep=None for a featureless source) — gate the "
+            "chain on des_prep before tracing this"
+        )
     q, _ = query_prep
     train = jnp.where(
         (jnp.arange(des.shape[0]) < n_valid)[:, None], des, _PAD_VAL
@@ -322,7 +328,7 @@ def detect_and_compute(
         (used automatically when cv2 is absent)."""
     method = method or os.environ.get("CUAUV_SIFT_DETECTOR", "cv2")
     if method == "device":
-        return _device_detect_and_compute(np.asarray(gray))
+        return _device_detect_and_compute(np.asarray(gray), max_keypoints)
     if method == "cv2":
         try:
             import cv2
@@ -478,7 +484,11 @@ class SIFT:
         nq = src["des_prep"][1]
         d = np.sqrt(np.maximum(np.asarray(d2)[:nq], 0.0))
         ix = np.asarray(idx)[:nq]
-        sel = d[:, 0] < ratio * d[:, 1]
+        # a 2nd-NN at sentinel distance means the scene had <2 valid
+        # descriptors (device_match_topk masks invalid rows to _PAD_VAL):
+        # without this guard a single-keypoint frame would pass the ratio
+        # test for EVERY template descriptor and publish a garbage pose
+        sel = (d[:, 0] < ratio * d[:, 1]) & (d[:, 1] < _PAD_VAL)
         good = [
             (int(i), int(ix[i, 0]), float(d[i, 0]))
             for i in np.nonzero(sel)[0]
