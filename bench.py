@@ -106,6 +106,32 @@ def _preexec() -> None:
     ctypes.CDLL(None, use_errno=True).prctl(1, signal.SIGKILL, 0, 0, 0)
 
 
+def _backend_alive(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout. The remote
+    tunnel can wedge so hard that backend init never returns (observed
+    live: bare jax.devices() hung >30 min) — and SIGALRM cannot interrupt
+    a blocked C call, so the per-step deadlines below never fire and the
+    wedge would silently burn the whole driver window."""
+    probe = (
+        "from cuauv_vision_pipeline_tpu.core.jaxconfig import "
+        "apply_env_platform; apply_env_platform(); "
+        "import jax; jax.devices()"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+            preexec_fn=_preexec,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        log(f"backend probe failed: {type(e).__name__}")
+        return False
+
+
 def spawn(argv: list, tag: str, env: dict = None) -> subprocess.Popen:
     import warnings
 
@@ -1468,9 +1494,38 @@ def config5_yolo_latency() -> None:
 
 
 def main() -> None:
-    from cuauv_vision_pipeline_tpu.core.jaxconfig import ensure_compile_cache
+    from cuauv_vision_pipeline_tpu.core.jaxconfig import (
+        apply_env_platform,
+        ensure_compile_cache,
+    )
 
+    # an explicit JAX_PLATFORMS (e.g. cpu smoke runs) must win over the
+    # device plugin's import-time override — env alone is ignored, and the
+    # plugin's backend init can block forever on a wedged transport
+    apply_env_platform()
     ensure_compile_cache()
+
+    if not _backend_alive():
+        # a wedged transport must still produce a parseable, explanatory
+        # run: run only the steps that never touch the device, then emit
+        # the diagnostic LAST (rc stays 0; drivers parse the tail)
+        try:
+            bus_roundtrip_bench()
+            host_leg_bench()
+        except Exception as e:
+            log(f"host-only benches FAILED: {type(e).__name__}: {e}")
+        emit(
+            "bench_aborted_device_backend_unreachable",
+            0,
+            "bool",
+            note=(
+                "backend init (jax.devices()) did not return within 240 s "
+                "in a probe subprocess — the remote transport is wedged; "
+                "device benches skipped (their deadlines cannot interrupt "
+                "a blocked backend-init C call). Host-only benches above."
+            ),
+        )
+        return
 
     # order: headline + device benches FIRST (before any readback / any
     # window-burning config), micro-benches + derived budgets next, then
