@@ -428,9 +428,9 @@ def detect_describe(
         keep_i = cand[i] & ~clash
         return kept.at[i].set(keep_i), None
 
-    kept, _ = jax.lax.scan(
-        step, jnp.zeros(max_keypoints, bool), idx_k
-    )
+    # init carry derived from traced data (cand & False == all-False) so
+    # its varying-axes type matches the body's output under shard_map
+    kept, _ = jax.lax.scan(step, cand & False, idx_k)
     # compact kept rows to the front, preserving strongest-first order
     order = jnp.argsort(~kept, stable=True)
     ys, xs, valid = ys[order], xs[order], kept[order]
