@@ -231,3 +231,34 @@ def test_sift_warm_precompiles_all_buckets():
         assert len(res) == 1
     assert S._distance_topk._cache_size() == base_t
     assert S._ransac_score._cache_size() == base_r
+
+
+def test_device_topk_equals_host_match_path():
+    """The in-chain match (device_match_topk -> match_device_topk) returns
+    EXACTLY what the host path (match_with_features) computes for the same
+    detector output — same matches, same RANSAC result, same quad."""
+    import jax.numpy as jnp
+
+    from cuauv_vision_pipeline_tpu.ops.feature import detect_describe_jit
+
+    rng = np.random.default_rng(31)
+    scene = rng.integers(0, 255, (200, 260), dtype=np.uint8)
+    source = rng.integers(0, 255, (80, 100), dtype=np.uint8)
+    scene[40:120, 60:160] = source
+
+    sift = S.SIFT(detector="device")
+    sift.add_source("target", source)
+
+    kp, des, n = detect_describe_jit(jnp.asarray(scene), 512)
+    n = int(n)
+    host = sift.match_with_features(
+        np.asarray(kp)[:n], np.asarray(des)[:n], min_match=8
+    )
+    d2, idx = S.device_match_topk(sift.sources["target"]["des_prep"], des, n)
+    dev = sift.match_device_topk(
+        "target", np.asarray(d2), np.asarray(idx), np.asarray(kp), min_match=8
+    )
+    assert len(host) == len(dev) == 1
+    assert host[0]["matches"] == dev[0]["matches"]
+    assert host[0]["inliers"] == dev[0]["inliers"]
+    np.testing.assert_array_equal(host[0]["quad"], dev[0]["quad"])
