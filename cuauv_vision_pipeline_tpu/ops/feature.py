@@ -330,13 +330,32 @@ def find_corners(
 _DESC_BORDER = 8  # half-size of the 16x16 descriptor patch
 
 
-def describe_at(gray: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+def _normalize_desc(d: jnp.ndarray) -> jnp.ndarray:
+    v = d.reshape(-1)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+    v = jnp.minimum(v, 0.2)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+def describe_at(
+    gray: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    oriented: bool = False,
+):
     """SIFT-like 128-D descriptors at given pixel locations, vectorized:
     8-bin gradient-orientation histograms over the 4x4 cells of a 16x16
-    patch, L2-normalized with the standard 0.2 clip. The same math as the
-    host fallback descriptor (utils/sift._builtin_detect_and_compute),
-    computed for ALL keypoints in one gather+reduce instead of a Python
-    loop per keypoint. Locations are clamped to the descriptor border.
+    patch, L2-normalized with the standard 0.2 clip — computed for ALL
+    keypoints in one gather+reduce instead of a Python loop per keypoint.
+    Locations are clamped to the descriptor border.
+
+    oriented=False is the same math as the host fallback descriptor
+    (utils/sift._builtin_detect_and_compute) — axis-aligned sampling, NOT
+    rotation invariant. oriented=True adds SIFT-style rotation invariance
+    (the pose flow's real regime: the vehicle yaws over a planar target):
+    a 36-bin dominant-orientation vote per keypoint, then the descriptor
+    grid rotates with the keypoint — gradient vectors bilinearly resampled
+    at the rotated coordinates and re-expressed in the keypoint frame.
 
     gray [H, W] -> des [K, 128] float32 (rows L2-unit or zero)."""
     g = gray.astype(jnp.float32)
@@ -352,17 +371,115 @@ def describe_at(gray: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
 
     # gather the small mag/bin patches first, THEN one-hot: [K, 16, 16, 8]
     # instead of materializing an [H, W, 8] orientation field
-    def one(y, x):
+    def one_axis_aligned(y, x):
         m = jax.lax.dynamic_slice(mag, (y - b, x - b), (16, 16))
         a = jax.lax.dynamic_slice(bins, (y - b, x - b), (16, 16))
         patch = jax.nn.one_hot(a, 8, dtype=jnp.float32) * m[..., None]
-        d = patch.reshape(4, 4, 4, 4, 8).sum(axis=(1, 3))  # 4x4 cells
-        v = d.reshape(-1)
-        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
-        v = jnp.minimum(v, 0.2)
-        return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+        return _normalize_desc(patch.reshape(4, 4, 4, 4, 8).sum(axis=(1, 3)))
 
-    return jax.vmap(one)(ys, xs)
+    if not oriented:
+        return jax.vmap(one_axis_aligned)(ys, xs)
+
+    # rotated sampling grid, shared by every keypoint
+    off = jnp.arange(16, dtype=jnp.float32) - 7.5
+    gy_off, gx_off = jnp.meshgrid(off, off, indexing="ij")  # [16, 16]
+
+    # spatial soft-binning weights + Gaussian window (SIFT's trilinear
+    # accumulation): hard cell assignment makes boundary pixels jump
+    # cells under the 1-2 px detection shifts rotation causes. These
+    # depend only on the fixed grid — computed once, shared by every
+    # keypoint. Cell coordinate: sample s lands at (s + 7.5)/4 - 0.5 in
+    # [-0.625, 3.625]; out-of-range ends contribute only inward.
+    def _cell_w(coord):
+        u = (coord.reshape(-1) + 7.5) / 4.0 - 0.5  # [256]
+        lo = jnp.floor(u)
+        f = u - lo
+        w = jnp.zeros((coord.size, 4), jnp.float32)
+        for which, ww in ((lo, 1.0 - f), (lo + 1.0, f)):
+            idx = jnp.clip(which, 0, 3).astype(jnp.int32)
+            valid_w = ((which >= 0) & (which <= 3)).astype(jnp.float32) * ww
+            w = w + jax.nn.one_hot(idx, 4, dtype=jnp.float32) * valid_w[:, None]
+        return w
+
+    w_cy = _cell_w(gy_off)  # [256, 4]
+    w_cx = _cell_w(gx_off)  # [256, 4]
+    gauss = jnp.exp(
+        -(gy_off.reshape(-1) ** 2 + gx_off.reshape(-1) ** 2) / (2.0 * 8.0**2)
+    )  # [256]
+
+    def bilinear(field, yy, xx):
+        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
+        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
+        wy = jnp.clip(yy - y0.astype(jnp.float32), 0.0, 1.0)
+        wx = jnp.clip(xx - x0.astype(jnp.float32), 0.0, 1.0)
+        v00 = field[y0, x0]
+        v01 = field[y0, x0 + 1]
+        v10 = field[y0 + 1, x0]
+        v11 = field[y0 + 1, x0 + 1]
+        return (
+            v00 * (1 - wy) * (1 - wx)
+            + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx)
+            + v11 * wy * wx
+        )
+
+    def one_oriented(y, x):
+        # 36-bin dominant orientation over the axis-aligned patch
+        m = jax.lax.dynamic_slice(mag, (y - b, x - b), (16, 16))
+        a = jax.lax.dynamic_slice(ang, (y - b, x - b), (16, 16))
+        h36 = (
+            jax.nn.one_hot(
+                jnp.floor(a / (2 * np.pi / 36)).astype(jnp.int32) % 36,
+                36,
+                dtype=jnp.float32,
+            )
+            * m[..., None]
+        ).sum(axis=(0, 1))
+        k = jnp.argmax(h36)
+        # parabolic peak interpolation: the raw 10-degree bin quantization
+        # leaves up to a bin of error between the template's and the
+        # scene's theta, smearing descriptor cells
+        hm = h36[(k - 1) % 36]
+        h0 = h36[k]
+        hp = h36[(k + 1) % 36]
+        denom = hm - 2.0 * h0 + hp
+        delta = jnp.where(
+            jnp.abs(denom) > 1e-9, 0.5 * (hm - hp) / denom, 0.0
+        )
+        theta = (k.astype(jnp.float32) + 0.5 + jnp.clip(delta, -0.5, 0.5)) * (
+            2 * np.pi / 36
+        )
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        # descriptor grid rotated by +theta around the keypoint (the SAME
+        # direction the content rotated: scene = template rotated by alpha
+        # gives theta_s = theta_t + alpha, and sampling at R(+theta_s)o
+        # lands on the template's R(+theta_t)o — gradients then differ by
+        # exactly alpha, cancelled by the -theta angle correction below)
+        rx = x.astype(jnp.float32) + gx_off * c - gy_off * s
+        ry = y.astype(jnp.float32) + gx_off * s + gy_off * c
+        sgx = bilinear(gx, ry, rx)
+        sgy = bilinear(gy, ry, rx)
+        smag = (jnp.hypot(sgx, sgy).reshape(-1) * gauss)  # [256]
+        rel = (jnp.arctan2(sgy, sgx).reshape(-1) - theta) % (2 * np.pi)
+        # SOFT orientation binning (SIFT-style linear interpolation
+        # between the two adjacent bins): hard binning is unstable for
+        # gradients on bin edges — axis-aligned edges (0/90 degrees) are
+        # exactly there, so resampling noise flips their whole mass
+        # between bins 0 and 7
+        pos = rel / (np.pi / 4) - 0.5  # bin centers at k+0.5
+        k0 = jnp.floor(pos)
+        w1 = pos - k0
+        k0i = k0.astype(jnp.int32) % 8
+        k1i = (k0i + 1) % 8
+        w_o = (
+            jax.nn.one_hot(k0i, 8, dtype=jnp.float32) * (1.0 - w1)[:, None]
+            + jax.nn.one_hot(k1i, 8, dtype=jnp.float32) * w1[:, None]
+        )  # [256, 8]
+        # trilinear accumulation: desc[cy, cx, b] = sum_s m*wy*wx*wo
+        d = jnp.einsum("s,sy,sx,sb->yxb", smag, w_cy, w_cx, w_o)
+        return _normalize_desc(d)
+
+    return jax.vmap(one_oriented)(ys, xs)
 
 
 def detect_describe(
@@ -370,6 +487,7 @@ def detect_describe(
     max_keypoints: int = 512,
     quality: float = 0.01,
     min_distance: int = 8,
+    oriented: bool = True,
 ):
     """Keypoint detection + description entirely on device, one traced
     graph — the TPU replacement for the pose flow's host cv2.SIFT leg
@@ -382,8 +500,10 @@ def detect_describe(
     descriptors (describe_at). The (2*min_distance+1) max-window NMS
     guarantees any two selected peaks are >= min_distance apart (two peaks
     closer than that would each have to dominate the other's window).
-    Single-scale by design: the planar-target matching this feeds compares
-    same-scale views; cv2.SIFT remains available for scale-varying footage
+    oriented=True (default) makes descriptors rotation invariant
+    (dominant-orientation vote + rotated resampling — the vehicle yaws
+    freely over a planar target); single-SCALE by design either way:
+    cv2.SIFT remains available for scale-varying footage
     (CUAUV_SIFT_DETECTOR=cv2).
 
     Returns (kp [K, 2] float32 (x, y), des [K, 128] float32, n_valid i32)
@@ -401,7 +521,8 @@ def detect_describe(
     mx = jax.lax.reduce_window(
         mx, -jnp.inf, jax.lax.max, (1, win), (1, 1), "VALID"
     )
-    b = _DESC_BORDER
+    # oriented sampling reaches 7.5*sqrt(2) ~ 10.6 px + 1 for bilinear
+    b = 12 if oriented else _DESC_BORDER
     yy = jnp.arange(H)[:, None]
     xx = jnp.arange(W)[None, :]
     inside = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
@@ -436,11 +557,11 @@ def detect_describe(
     ys, xs, valid = ys[order], xs[order], kept[order]
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    des = describe_at(g, ys, xs)
+    des = describe_at(g, ys, xs, oriented=oriented)
     des = jnp.where(valid[:, None], des, 0.0)
     kp = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=1)
     kp = jnp.where(valid[:, None], kp, -1.0)
     return kp, des, n_valid
 
 
-detect_describe_jit = jax.jit(detect_describe, static_argnums=(1, 3))
+detect_describe_jit = jax.jit(detect_describe, static_argnums=(1, 3, 4))

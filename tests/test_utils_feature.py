@@ -412,3 +412,42 @@ def test_device_detector_sift_finds_embedded_source():
     quad = results[0]["quad"]
     assert abs(quad[0][0] - 60) < 6 and abs(quad[0][1] - 40) < 6
     assert abs(quad[2][0] - 159) < 6 and abs(quad[2][1] - 119) < 6
+
+
+def test_device_detector_rotation_invariance():
+    """oriented descriptors (the detect_describe default): a template
+    pasted ROTATED into the scene is still matched — the pose flow's real
+    regime (the vehicle yaws freely over a planar target). The axis-
+    aligned descriptor (oriented=False) has no such guarantee."""
+    from cuauv_vision_pipeline_tpu.utils.sift import SIFT
+    from cuauv_vision_pipeline_tpu.utils.transform import rotate
+
+    from cuauv_vision_pipeline_tpu.capture_sources.synthetic import bin_texture
+    from cuauv_vision_pipeline_tpu.ops.color_np import bgr_to_gray_np
+
+    rng = np.random.default_rng(17)
+    tex = bgr_to_gray_np(np.asarray(bin_texture()))  # the real pose target
+    rot = rotate(np.stack([tex] * 3, -1), 30.0)[..., 0]  # BGR warp, back to gray
+
+    # mild-contrast backdrop like the real underwater scene (a full-range
+    # noise background would out-compete the plate's corners for the
+    # detector's top-k slots — realistic scenes don't)
+    scene = rng.integers(70, 100, (420, 520), dtype=np.uint8)
+    # paste the rotated template's valid interior (skip the warp's black
+    # corner fill so pasted-region keypoints see real texture)
+    ys, xs = np.nonzero(rot > 0)
+    y0, y1, x0, x1 = ys.min() + 20, ys.max() - 20, xs.min() + 20, xs.max() - 20
+    scene[60 : 60 + (y1 - y0), 80 : 80 + (x1 - x0)] = rot[y0:y1, x0:x1]
+
+    sift = SIFT(detector="device")
+    sift.add_source("target", tex)
+    results = sift.match(scene, min_match=8)
+    assert len(results) == 1, "rotated target not matched"
+    assert results[0]["inliers"] >= 6
+    # the recovered homography must place the template's CENTER at the
+    # pasted plate's center: template center (160, 80) -> rotation about
+    # the center is a fixed point -> crop shift (-20, -20) -> paste
+    # offset (+80, +60) => (220, 120)
+    quad = np.asarray(results[0]["quad"], np.float64)
+    center = quad.mean(axis=0)
+    assert abs(center[0] - 220) < 12 and abs(center[1] - 120) < 12, center
