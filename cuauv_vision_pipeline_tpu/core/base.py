@@ -1047,6 +1047,13 @@ class ModuleBase(ABC):
                     pass
 
         logger(f"Cleaning {self.__class__.__name__}", True)
+        if getattr(self, "_abandoned_inflight", False):
+            # abandoned in-flight device work means runtime worker threads
+            # are blocked inside calls that will not return; interpreter/
+            # C++ teardown then aborts the process ("FATAL: exception not
+            # rethrown", observed on a mid-compile SIGINT). All shm state
+            # is already cleaned above — exit without running destructors.
+            os._exit(0)
 
     def _discover_handlers(
         self, logger: Logger
@@ -1463,6 +1470,7 @@ class ModuleBase(ABC):
                     "result(s) at shutdown (device/link not delivering)",
                     True,
                 )
+                self._abandoned_inflight = True
             dev_exec.close()
             self._drain_post_queue()
 

@@ -68,15 +68,22 @@ def main() -> None:
                     reader.unblock()
                     tuned = True
                     print(">> tuned thresh_min=140 (isolating the buoy)")
-                except RuntimeError:
-                    pass
+                except (RuntimeError, KeyError) as e:
+                    # retry next sample; say why instead of hiding it
+                    print(f">> tuner attempt failed ({e!r}); will retry")
     finally:
         import signal
 
         for proc in procs:
             proc.send_signal(signal.SIGINT)
         for proc in procs:
-            proc.wait(timeout=15)
+            try:
+                proc.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                # a mid-compile SIGINT can leave the runtime blocked in a
+                # call that won't return; escalate instead of raising
+                proc.kill()
+                proc.wait()
         print("clean shutdown")
 
 
