@@ -118,11 +118,15 @@ def _backend_alive(timeout_s: float = 240.0) -> bool:
         "import jax; jax.devices()"
     )
     try:
+        # DEVNULL, not pipes: on timeout subprocess.run kills only the
+        # direct child then drains pipes UNTIMED — a transport helper
+        # that inherited them would wedge the anti-wedge probe itself
         subprocess.run(
             [sys.executable, "-c", probe],
             timeout=timeout_s,
             check=True,
-            capture_output=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
             preexec_fn=_preexec,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -1516,7 +1520,7 @@ def main() -> None:
             log(f"host-only benches FAILED: {type(e).__name__}: {e}")
         emit(
             "bench_aborted_device_backend_unreachable",
-            0,
+            1,
             "bool",
             note=(
                 "backend init (jax.devices()) did not return within 240 s "
@@ -1526,6 +1530,25 @@ def main() -> None:
             ),
         )
         return
+
+    # healthy backend: scrub a stale abort marker from a previous wedged
+    # run — the merge in emit() only replaces re-emitted metric names, so
+    # nothing else would ever clear it
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json"
+        )
+        with open(path) as f:
+            existing = json.load(f)
+        cleaned = [
+            r for r in existing
+            if r.get("metric") != "bench_aborted_device_backend_unreachable"
+        ]
+        if len(cleaned) != len(existing):
+            with open(path, "w") as f:
+                json.dump(cleaned, f, indent=1)
+    except (OSError, ValueError):
+        pass
 
     # order: headline + device benches FIRST (before any readback / any
     # window-burning config), micro-benches + derived budgets next, then

@@ -1053,6 +1053,20 @@ class ModuleBase(ABC):
             # C++ teardown then aborts the process ("FATAL: exception not
             # rethrown", observed on a mid-compile SIGINT). All shm state
             # is already cleaned above — exit without running destructors.
+            # os._exit skips atexit, so dump the incident's trace (the one
+            # you most want) and flush streams explicitly first.
+            import sys
+
+            trace_dir = os.environ.get("CUAUV_TRACE_DIR")
+            if trace_dir:
+                tracer.dump(
+                    os.path.join(
+                        trace_dir,
+                        f"trace-{os.getpid()}-{int(time.time())}.json",
+                    )
+                )
+            sys.stdout.flush()
+            sys.stderr.flush()
             os._exit(0)
 
     def _discover_handlers(

@@ -365,9 +365,12 @@ def describe_at(
     ang = jnp.arctan2(gy, gx) % (2 * np.pi)
     bins = jnp.floor(ang / (np.pi / 4)).astype(jnp.int32) % 8
 
-    b = _DESC_BORDER
+    # oriented sampling reaches 7.5*sqrt(2)+1 ~ 11.6 px; clamp keypoints
+    # far enough in that no rotated sample lands on edge-replicated rows
+    b = 12 if oriented else _DESC_BORDER
     ys = jnp.clip(ys, b, H - b - 1)
     xs = jnp.clip(xs, b, W - b - 1)
+    b = _DESC_BORDER  # patch extraction itself stays 16x16
 
     # gather the small mag/bin patches first, THEN one-hot: [K, 16, 16, 8]
     # instead of materializing an [H, W, 8] orientation field

@@ -324,8 +324,10 @@ def detect_and_compute(
       * "device"  — ops/feature.detect_describe on the TPU (single-scale,
         ~200x cheaper per frame; descriptors are NOT interchangeable with
         cv2's, so template and scene must use the same method).
-      * "builtin" — host fallback with device-mode-compatible descriptors
-        (used automatically when cv2 is absent)."""
+      * "builtin" — host fallback (used automatically when cv2 is
+        absent); its axis-aligned descriptors match ONLY the device
+        path's oriented=False variant, not the rotation-invariant
+        default."""
     method = method or os.environ.get("CUAUV_SIFT_DETECTOR", "cv2")
     if method == "device":
         return _device_detect_and_compute(np.asarray(gray), max_keypoints)

@@ -61,16 +61,23 @@ def main() -> None:
             )
             if not tuned and results.visible:
                 # live-tune the threshold so only the red disc passes
+                reader = None
                 try:
                     reader = ModuleReader("BuoyLAB-on-zed")
                     reader.run_forever()
                     reader.update_tuner_value("thresh_min", 140)
-                    reader.unblock()
                     tuned = True
                     print(">> tuned thresh_min=140 (isolating the buoy)")
                 except (RuntimeError, KeyError) as e:
-                    # retry next sample; say why instead of hiding it
+                    # retry next sample (a stale visible=True from a prior
+                    # run can fire before the new module's blocks exist);
+                    # say why instead of hiding it
                     print(f">> tuner attempt failed ({e!r}); will retry")
+                finally:
+                    # stop the poll thread even on a failed attempt —
+                    # leaked readers accumulate threads + shm handles
+                    if reader is not None and reader._thread is not None:
+                        reader.unblock()
     finally:
         import signal
 
