@@ -177,8 +177,18 @@ class Handler(BaseHTTPRequestHandler):
 
             stub = _os.path.basename(_shm.SHM_STUB)
             for f in sorted(_os.listdir(_os.path.dirname(_shm.SHM_STUB))):
-                if f.startswith(stub) and "results" in f:
-                    groups.append(f[len(stub):])
+                if not f.startswith(stub):
+                    continue
+                name = f[len(stub):]
+                # every group a detection/handler path writes: *_results,
+                # the yolo handler groups (yolo_gate, yolo_status, ...),
+                # and the bins pose output
+                if (
+                    "results" in name
+                    or name.startswith("yolo_")
+                    or name in ("bins_pose", "poster_status")
+                ):
+                    groups.append(name)
         except OSError:
             pass
         results_html = "".join(
