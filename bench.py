@@ -555,6 +555,11 @@ def device_step_bench() -> None:
     yolo_i8 = lambda img: model_i8.device_decode(img)
     yolo_i8_ms = timed("yolo_int8_step_ms", yolo_i8, cb_frames)
 
+    # w8a8: TRUE int8 x int8 MXU convs (dynamic activation scales)
+    model_w8 = YoloModel(None, task="obb", quantize="w8a8")
+    yolo_w8 = lambda img: model_w8.device_decode(img)
+    yolo_w8_ms = timed("yolo_w8a8_step_ms", yolo_w8, cb_frames)
+
     # multi-camera batched forward: 2 cameras, ONE MXU dispatch
     import jax as _jax
 
@@ -590,6 +595,13 @@ def device_step_bench() -> None:
         "ms/frame",
         bf16_ms=round(yolo_ms, 3),
         note="weight-only int8 conv kernels (per-channel scales, on-chip dequant to bf16); parity pinned by tests/test_yolo.py",
+    )
+    emit(
+        "device_step_yolo_w8a8_720p_ms",
+        round(yolo_w8_ms, 3),
+        "ms/frame",
+        bf16_ms=round(yolo_ms, 3),
+        note="int8 x int8 MXU convs (per-channel weight scales, dynamic per-tensor activation scales, int32 accumulate); parity pinned by tests/test_yolo.py",
     )
     emit(
         "device_step_yolo_multicam_2cam_ms",

@@ -77,6 +77,53 @@ def quantize_weights_int8(variables):
     return jax.tree.map(split_q, variables), jax.tree.map(split_s, variables)
 
 
+def _w8a8_conv_interceptor(next_fun, args, kwargs, context):
+    """flax method interceptor swapping every ``nn.Conv.__call__`` for an
+    int8 x int8 MXU convolution (quantize="w8a8"): per-output-channel
+    weight scales, DYNAMIC per-tensor activation scales (no calibration
+    pass needed), int32 accumulation, float rescale + bias. The parameter
+    tree is untouched — kernels quantize in-graph — so checkpoint
+    import/export and the bf16 path share the same variables. Unlike the
+    weight-only "int8" mode (an HBM-footprint knob that dequantizes back
+    to bf16), this feeds the MXU true int8 operands. Beyond the reference
+    (its yolo ran ultralytics f16/f32, reference modules/yolo.py:44-55)."""
+    import flax.linen as nn
+
+    mod = context.module
+    if not isinstance(mod, nn.Conv) or context.method_name != "__call__":
+        return next_fun(*args, **kwargs)
+    x = args[0]
+    params = mod.variables["params"]
+    kernel = jnp.asarray(params["kernel"], jnp.float32)  # HWIO
+    s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True) / 127.0
+    s_w = jnp.where(s_w == 0, 1.0, s_w)
+    k_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+
+    strides = mod.strides
+    if not isinstance(strides, (tuple, list)):
+        strides = (strides, strides)
+    pad = mod.padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    out = jax.lax.conv_general_dilated(
+        x_q,
+        k_q,
+        window_strides=tuple(int(s) for s in strides),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=mod.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    out = out.astype(jnp.float32) * (s_x * s_w.reshape(1, 1, 1, -1))
+    if mod.use_bias:
+        out = out + jnp.asarray(params["bias"], jnp.float32)
+    return out.astype(x.dtype)
+
+
 class _Result:
     """Mimics ultralytics Results just enough for .summary()."""
 
@@ -107,15 +154,22 @@ class YoloModel:
         mode; set False for exact-f32 debugging. quantize="int8" (or env
         CUAUV_YOLO_INT8=1) stores conv kernels as int8 + per-channel scale
         and dequantizes to bf16 on-chip (weight-only; activations stay
-        bf16)."""
+        bf16 — an HBM-footprint knob). quantize="w8a8" (or env
+        CUAUV_YOLO_QUANT=w8a8) runs every conv as int8 x int8 on the MXU
+        with dynamic per-tensor activation scales
+        (_w8a8_conv_interceptor)."""
         self.image_size = image_size
         self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
         self._tracker = ByteTracker()
-        if quantize is None and os.environ.get("CUAUV_YOLO_INT8", "") == "1":
-            quantize = "int8"
-        if quantize not in (None, "int8"):
+        if quantize is None:
+            env_q = os.environ.get("CUAUV_YOLO_QUANT", "")
+            if env_q:
+                quantize = env_q
+            elif os.environ.get("CUAUV_YOLO_INT8", "") == "1":
+                quantize = "int8"
+        if quantize not in (None, "int8", "w8a8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         self.quantize = quantize
 
@@ -182,7 +236,13 @@ class YoloModel:
             x = _PREPROCESS(image_u8[None], self.image_size)
             if half:
                 x = x.astype(jnp.bfloat16)
-            outputs = model.apply(prep_vars(variables), x)
+            if self.quantize == "w8a8":
+                import flax.linen as nn
+
+                with nn.intercept_methods(_w8a8_conv_interceptor):
+                    outputs = model.apply(prep_vars(variables), x)
+            else:
+                outputs = model.apply(prep_vars(variables), x)
             outputs = jax.tree.map(
                 lambda o: o.astype(jnp.float32), outputs
             )
@@ -227,7 +287,13 @@ class YoloModel:
         variables = self._prep_vars(self._infer_vars)
 
         def one(x):
-            outputs = self.model.apply(variables, x[None])
+            if self.quantize == "w8a8":
+                import flax.linen as nn
+
+                with nn.intercept_methods(_w8a8_conv_interceptor):
+                    outputs = self.model.apply(variables, x[None])
+            else:
+                outputs = self.model.apply(variables, x[None])
             outputs = jax.tree.map(lambda o: o.astype(jnp.float32), outputs)
             return decode(
                 outputs,

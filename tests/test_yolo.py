@@ -629,3 +629,29 @@ def test_fused_letterbox_preamble_matches_preprocess():
         assert d.max() <= 1.0 / 255.0 + 1e-6  # at most one u8 step
         frac = float((d > 1e-6).mean())
         assert frac < 1e-3, f"{shape}: {frac:.2e} of pixels differ"
+
+
+def test_w8a8_quantized_forward_parity():
+    """quantize="w8a8" (int8 x int8 MXU convs via the nn.Conv interceptor,
+    dynamic activation scales): detections on the same image match the
+    bf16 forward's — same top class, box within a few pixels. The
+    parameter tree is untouched (kernels quantize in-graph), so both
+    models share the exact same variables here."""
+    import jax
+
+    base = YoloModel(None, task="obb", image_size=160, max_det=8,
+                     conf_thresh=0.0)
+    quant = YoloModel(None, task="obb", image_size=160, max_det=8,
+                      conf_thresh=0.0, quantize="w8a8")
+    quant.variables = base.variables
+    quant._infer_vars = base.variables  # identical weights, no extra tree
+
+    img = np.random.default_rng(0).integers(0, 255, (120, 160, 3), np.uint8)
+    ref = {k: np.asarray(v) for k, v in base.device_decode(img).items()}
+    out = {k: np.asarray(v) for k, v in quant.device_decode(img).items()}
+    ri = int(np.argmax(np.where(ref["valid"], ref["score"], -1)))
+    qi = int(np.argmax(np.where(out["valid"], out["score"], -1)))
+    assert ref["valid"][ri] and out["valid"][qi]
+    assert np.abs(ref["xyxy"][ri] - out["xyxy"][qi]).max() < 10.0
+    assert abs(float(ref["score"][ri]) - float(out["score"][qi])) < 0.2
+    assert int(ref["cls"][ri]) == int(out["cls"][qi])
