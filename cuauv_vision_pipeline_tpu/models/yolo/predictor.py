@@ -109,11 +109,19 @@ def _w8a8_conv_interceptor(next_fun, args, kwargs, context):
     pad = mod.padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]
+
+    def _dil(d):
+        if d is None:
+            return None
+        return tuple(int(v) for v in (d if isinstance(d, (tuple, list)) else (d, d)))
+
     out = jax.lax.conv_general_dilated(
         x_q,
         k_q,
         window_strides=tuple(int(s) for s in strides),
         padding=pad,
+        lhs_dilation=_dil(mod.input_dilation),
+        rhs_dilation=_dil(mod.kernel_dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=mod.feature_group_count,
         preferred_element_type=jnp.int32,
