@@ -655,3 +655,32 @@ def test_w8a8_quantized_forward_parity():
     assert np.abs(ref["xyxy"][ri] - out["xyxy"][qi]).max() < 10.0
     assert abs(float(ref["score"][ri]) - float(out["score"][qi])) < 0.2
     assert int(ref["cls"][ri]) == int(out["cls"][qi])
+
+
+def test_w8a8_interceptor_respects_dilation():
+    """The interceptor must forward input/kernel dilation to the int8 conv
+    — yolov8 has no dilated convs, so this is pinned directly on nn.Conv:
+    a dilated conv run through the interceptor matches the float conv to
+    int8 quantization error, and differs from the UNdilated conv (i.e.
+    dilation was not silently dropped)."""
+    import flax.linen as nn
+    import jax
+
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import (
+        _w8a8_conv_interceptor,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    conv_d = nn.Conv(8, (3, 3), kernel_dilation=(2, 2), padding="SAME")
+    conv_1 = nn.Conv(8, (3, 3), padding="SAME")
+    v = conv_d.init(rng, x)
+
+    ref = conv_d.apply(v, x)
+    with nn.intercept_methods(_w8a8_conv_interceptor):
+        got = conv_d.apply(v, x)
+        und = conv_1.apply(v, x)  # same weights, no dilation
+    scale = float(np.abs(np.asarray(ref)).max())
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert err < 0.05 * scale, f"dilated int8 conv off by {err}"
+    assert np.abs(np.asarray(got) - np.asarray(und)).max() > 0.1 * scale
