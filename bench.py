@@ -1566,13 +1566,20 @@ def main() -> None:
     # window-burning config), micro-benches + derived budgets next, then
     # the five topology configs, most important first.
     steps = {
-        "h": ("headline: device chain", headline_device_chain, 900),
-        "s": ("stereo fan-in chain", stereo_fanin_bench, 420),
-        "d": ("device chain steps", device_step_bench, 600),
+        # caps must survive a fully COLD persistent cache: the process's
+        # first readback costs 150-545 s (uncacheable aux compile on
+        # tunnel-attached chips) and each new graph 30-300 s via the remote
+        # compile helper — and SIGALRM only raises AFTER a blocked compile
+        # C-call returns, so a too-tight cap kills the step right before
+        # its seconds-long measurement. Headline pays readback + 2 graphs
+        # (worst ~1150 s); device steps pay up to 4 yolo variants.
+        "h": ("headline: device chain", headline_device_chain, 1600),
+        "s": ("stereo fan-in chain", stereo_fanin_bench, 500),
+        "d": ("device chain steps", device_step_bench, 900),
         "t": ("H2D transfer", transfer_bench, 300),
         "b": ("bus roundtrip", bus_roundtrip_bench, 120),
         "y": ("yolo host path", yolo_host_path_bench, 620),
-        "p": ("derived PCIe budgets", _derived_with_host_legs, 420),
+        "p": ("derived PCIe budgets", _derived_with_host_legs, 650),
         "1": ("config 1: red_buoy e2e topology", config1_red_buoy_e2e, CONFIG_CAP_S),
         "5": ("config 5: yolo p50 latency", config5_yolo_latency, CONFIG_CAP_S),
         "2": ("config 2: gate localization", config2_gate_video, CONFIG_CAP_S),
