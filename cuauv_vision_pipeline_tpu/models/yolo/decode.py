@@ -258,6 +258,8 @@ def decode(
         k = flat["kpts"][0]
         nk = k.shape[-1] // 3
         k = k.reshape(-1, nk, 3)
+        centers = flat["centers"]  # [N, 2] anchor centers, model pixels
+        strides = flat["strides"]  # [N]
         kx = (k[..., 0] * 2.0) * strides[:, None] + (centers[:, 0:1] - 0.5 * strides[:, None])
         ky = (k[..., 1] * 2.0) * strides[:, None] + (centers[:, 1:2] - 0.5 * strides[:, None])
         kv = jax.nn.sigmoid(k[..., 2])

@@ -43,6 +43,34 @@ def test_decode_fixed_shapes():
     assert decoded["valid"].shape == (8,)
 
 
+def test_pose_kpts_decode_geometry():
+    """decode()'s pose branch: a zero keypoint prediction lands on its
+    anchor's grid corner (centers - stride/2) with sigmoid(0) = 0.5
+    visibility — ultralytics' kpts_decode mapping (reference consumes it
+    via model.track, reference modules/yolo.py:57-58 task='pose').
+    Regression: the branch read ``strides``/``centers`` from
+    decode_boxes' scope and raised NameError on any pose decode."""
+    reg_max = 4
+    nk = 2
+    outputs = {"box": [], "cls": [], "kpts": []}
+    for H in (4, 2, 1):  # image_size=32 at strides (8, 16, 32)
+        outputs["box"].append(jnp.zeros((1, H, H, 4 * reg_max)))
+        outputs["cls"].append(jnp.full((1, H, H, 1), -10.0))
+        outputs["kpts"].append(jnp.zeros((1, H, H, 3 * nk)))
+    # one confident anchor: stride-8 scale, grid cell (y=1, x=2)
+    outputs["cls"][0] = outputs["cls"][0].at[0, 1, 2, 0].set(5.0)
+
+    decoded = decode(outputs, 32, reg_max=reg_max, conf_thresh=0.25, max_det=4)
+    assert decoded["kpts"].shape == (4, nk, 3)
+    top = int(np.argmax(np.asarray(decoded["score"])))
+    assert bool(np.asarray(decoded["valid"])[top])
+    kp = np.asarray(decoded["kpts"])[top]
+    # kx = pred*2*stride + (cx - stride/2) = (2+0.5)*8 - 4 = 16; ky = 8
+    np.testing.assert_allclose(kp[:, 0], 16.0, atol=1e-4)
+    np.testing.assert_allclose(kp[:, 1], 8.0, atol=1e-4)
+    np.testing.assert_allclose(kp[:, 2], 0.5, atol=1e-4)
+
+
 def test_nms_suppresses_overlaps():
     boxes = jnp.asarray(
         [
