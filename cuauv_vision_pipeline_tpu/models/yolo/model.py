@@ -24,6 +24,10 @@ import numpy as np
 
 SIZES = {
     # depth_multiple, width_multiple, max_channels
+    # "p" (pico) has no ultralytics counterpart: a CPU-trainable width for
+    # the in-repo synthetic fixture checkpoint (examples/train_synthetic.py)
+    # and quantization accuracy-budget tests.
+    "p": (1 / 3, 0.125, 1024),
     "n": (1 / 3, 0.25, 1024),
     "s": (1 / 3, 0.50, 1024),
     "m": (2 / 3, 0.75, 768),

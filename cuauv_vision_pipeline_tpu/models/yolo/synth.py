@@ -1,0 +1,143 @@
+"""Synthetic detection scenes with exact ground truth.
+
+The reference consumes externally-trained ultralytics weights and has no
+dataset in-repo (reference modules/yolo.py:44-55); the rebuild owns its
+model and trainer (train.py), so it also owns a data source: procedurally
+generated underwater-ish scenes whose labels are exact by construction.
+Two classes — a filled disc ("disc", the buoy analog) and an axis-aligned
+plate ("slab", the bins/gate analog) — over a noisy blue-green gradient.
+
+Used by examples/train_synthetic.py to train the fixture checkpoint in
+tests/fixtures/, and by the quantization accuracy-budget tests
+(bf16 vs int8 / w8a8 agreement is only meaningful on weights that
+actually detect something).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+CLASS_NAMES = ("disc", "slab")
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def render_scene(
+    rng: np.random.Generator,
+    size: int = 128,
+    max_objects: int = 3,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One scene: (img_u8_bgr [size,size,3], boxes_xyxy f32 [max_objects,4],
+    cls i32 [max_objects]); cls = -1 marks padding rows.
+
+    Objects are warm-colored (high red/orange) on a cool background so the
+    task is learnable by a small model in a few hundred steps; positions
+    are rejection-sampled to pairwise IoU <= 0.2 so one anchor cell rarely
+    owns two objects (train.py assigns by center cell)."""
+    # background: vertical blue-green gradient + per-pixel noise
+    top = rng.uniform(20, 70, 3)
+    bot = rng.uniform(20, 70, 3)
+    t = np.linspace(0.0, 1.0, size, dtype=np.float32)[:, None, None]
+    bg = top * (1 - t) + bot * t
+    img = bg + rng.normal(0.0, 6.0, (size, size, 3))
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    boxes = np.zeros((max_objects, 4), np.float32)
+    cls = np.full((max_objects,), -1, np.int32)
+
+    n = int(rng.integers(1, max_objects + 1))
+    placed = 0
+    for _ in range(12 * n):
+        if placed == n:
+            break
+        c = int(rng.integers(0, len(CLASS_NAMES)))
+        # warm BGR color: strong red, some green, little blue
+        color = np.array(
+            [rng.uniform(0, 60), rng.uniform(40, 140), rng.uniform(170, 255)]
+        )
+        if c == 0:  # disc
+            r = float(rng.uniform(size * 0.06, size * 0.18))
+            cx = float(rng.uniform(r + 2, size - r - 2))
+            cy = float(rng.uniform(r + 2, size - r - 2))
+            box = np.array([cx - r, cy - r, cx + r, cy + r], np.float32)
+            mask = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+        else:  # slab
+            w = float(rng.uniform(size * 0.12, size * 0.4))
+            h = float(rng.uniform(size * 0.08, size * 0.25))
+            x0 = float(rng.uniform(2, size - w - 2))
+            y0 = float(rng.uniform(2, size - h - 2))
+            box = np.array([x0, y0, x0 + w, y0 + h], np.float32)
+            mask = (xx >= x0) & (xx < x0 + w) & (yy >= y0) & (yy < y0 + h)
+        if any(_iou(box, boxes[i]) > 0.2 for i in range(placed)):
+            continue
+        shade = 1.0 - 0.25 * ((yy - box[1]) / max(box[3] - box[1], 1.0))
+        img = np.where(mask[..., None], color * shade[..., None], img)
+        boxes[placed] = box
+        cls[placed] = c
+        placed += 1
+
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return img, boxes, cls
+
+
+def make_batch(
+    rng: np.random.Generator,
+    batch: int,
+    size: int = 128,
+    max_objects: int = 3,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stacked scenes shaped for train.make_train_step: images u8 BGR
+    [B,S,S,3], targets_xyxy f32 [B,T,4] (model pixels), targets_cls i32
+    [B,T] with -1 padding."""
+    imgs, boxes, cls = zip(
+        *(render_scene(rng, size, max_objects) for _ in range(batch))
+    )
+    return np.stack(imgs), np.stack(boxes), np.stack(cls)
+
+
+def match_detections(
+    decoded: dict,
+    gt_boxes: np.ndarray,
+    gt_cls: np.ndarray,
+    conf: float = 0.25,
+    iou_min: float = 0.5,
+) -> Tuple[int, int, int]:
+    """Greedy-match one image's decode dict against its ground truth:
+    (true_positives, n_gt, n_pred). A prediction matches an unclaimed gt
+    of the same class with IoU >= iou_min; predictions are visited in
+    score order (the fixed-shape decode is already score-sorted)."""
+    xyxy = np.asarray(decoded["xyxy"], np.float32)
+    score = np.asarray(decoded["score"], np.float32)
+    dcls = np.asarray(decoded["cls"], np.int32)
+    valid = np.asarray(decoded["valid"], bool)
+    keep = valid & (score >= conf)
+    gt_idx = [i for i in range(len(gt_cls)) if gt_cls[i] >= 0]
+    claimed = set()
+    tp = 0
+    for i in np.nonzero(keep)[0]:
+        best, best_iou = None, iou_min
+        for g in gt_idx:
+            if g in claimed or int(gt_cls[g]) != int(dcls[i]):
+                continue
+            iou = _iou(xyxy[i], gt_boxes[g])
+            if iou >= best_iou:
+                best, best_iou = g, iou
+        if best is not None:
+            claimed.add(best)
+            tp += 1
+    return tp, len(gt_idx), int(keep.sum())
+
+
+def to_model_input(images_u8_bgr: np.ndarray) -> np.ndarray:
+    """u8 BGR [B,S,S,3] -> f32 RGB [0,1] — the square-frame special case of
+    model.preprocess (no resize/pad when the frame is already S x S), so
+    training inputs match exactly what the predictor feeds at inference."""
+    return images_u8_bgr[..., ::-1].astype(np.float32) / 255.0

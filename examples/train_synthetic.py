@@ -1,0 +1,144 @@
+"""Train a YOLO detector on synthetic scenes, end to end in-repo.
+
+The reference pipeline consumes ultralytics weights trained elsewhere
+(reference modules/yolo.py:44-55); this framework owns its model
+(models/yolo/model.py), trainer (train.py) and data (synth.py), so a
+usable checkpoint can be produced from nothing:
+
+    python examples/train_synthetic.py --steps 700 --out /tmp/synth.msgpack
+
+The resulting .msgpack (+ .json sidecar) loads straight into the serving
+path (`CUAUV_YOLO_WEIGHT=/tmp/synth.msgpack python -m
+cuauv_vision_pipeline_tpu.modules.yolo zed`) and into YoloModel for the
+quantization accuracy-budget tests. Fresh scenes are generated every step
+(infinite data — no epochs), and a held-out evaluation reports
+recall/precision at IoU >= 0.5.
+
+On a TPU mesh the same step functions shard over devices (the multichip
+dry-run jits this trainer under dp x tp sharding; __graft_entry__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def evaluate(model, variables, args, seed: int = 10_000):
+    """Recall/precision at IoU >= 0.5 over fresh held-out scenes."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.models.yolo.decode import decode
+    from cuauv_vision_pipeline_tpu.models.yolo.synth import (
+        make_batch,
+        match_detections,
+        to_model_input,
+    )
+
+    @jax.jit
+    def infer(variables, x):
+        out = model.apply(variables, x)
+        return jax.vmap(
+            lambda o: decode(
+                jax.tree.map(lambda v: v[None], o),
+                args.image_size,
+                conf_thresh=args.conf,
+                max_det=8,
+            )
+        )(out)
+
+    rng = np.random.default_rng(seed)
+    tp = n_gt = n_pred = 0
+    for _ in range(args.eval_scenes // 8):
+        imgs, boxes, cls = make_batch(rng, 8, args.image_size)
+        decoded = jax.tree.map(np.asarray, infer(variables, to_model_input(imgs)))
+        for b in range(len(imgs)):
+            one = jax.tree.map(lambda v: v[b], decoded)
+            t, g, p = match_detections(one, boxes[b], cls[b], conf=args.conf)
+            tp, n_gt, n_pred = tp + t, n_gt + g, n_pred + p
+    recall = tp / max(n_gt, 1)
+    precision = tp / max(n_pred, 1)
+    return recall, precision, n_gt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--steps", type=int, default=700)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--image-size", type=int, default=128)
+    ap.add_argument("--model-size", default="p", help="SIZES key (p=pico)")
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--eval-scenes", type=int, default=64)
+    ap.add_argument("--out", default="/tmp/synth_yolo.msgpack")
+    args = ap.parse_args()
+
+    from cuauv_vision_pipeline_tpu.core.jaxconfig import (
+        apply_env_platform,
+        ensure_compile_cache,
+    )
+
+    apply_env_platform()
+    ensure_compile_cache()
+
+    import jax
+
+    from cuauv_vision_pipeline_tpu.models.yolo.model import create_model
+    from cuauv_vision_pipeline_tpu.models.yolo.synth import (
+        CLASS_NAMES,
+        make_batch,
+        to_model_input,
+    )
+    from cuauv_vision_pipeline_tpu.models.yolo.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import save_checkpoint
+
+    model, variables = create_model(
+        len(CLASS_NAMES),
+        size=args.model_size,
+        task="detect",
+        image_size=args.image_size,
+        seed=args.seed,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    print(f"[train] {args.model_size}-size detect model: {n_params:,} params")
+
+    state, tx = create_train_state(model, variables, learning_rate=args.lr)
+    step = jax.jit(make_train_step(model, tx))
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for i in range(args.steps):
+        imgs, boxes, cls = make_batch(rng, args.batch, args.image_size)
+        state, loss = step(state, to_model_input(imgs), boxes, cls)
+        if i % 50 == 0 or i == args.steps - 1:
+            print(
+                f"[train] step {i:5d}  loss {float(loss):8.4f}  "
+                f"({(time.time() - t0):6.1f}s)",
+                flush=True,
+            )
+
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+    recall, precision, n_gt = evaluate(model, trained, args)
+    print(
+        f"[eval] recall {recall:.3f}  precision {precision:.3f}  "
+        f"({n_gt} gt objects, IoU>=0.5, conf>={args.conf})"
+    )
+
+    trained_np = jax.tree.map(np.asarray, trained)
+    save_checkpoint(args.out, model, trained_np, {"names": list(CLASS_NAMES)})
+    print(f"[train] saved {args.out} (+ .json sidecar)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
