@@ -158,6 +158,31 @@ def test_predictor_end_to_end_random_weights():
         assert "track_id" in r
 
 
+def test_pose_predictor_end_to_end_random_weights():
+    """The full pose serving path — forward, decode (kpts branch),
+    summarize (keypoints dict), MAP_FN['pose'] parse — produces
+    well-formed keypoints (the reference consumes this shape via
+    result.summary(), reference modules/yolo.py:57-58,116-123)."""
+    from cuauv_vision_pipeline_tpu.models.yolo.data import PoseData
+
+    m = YoloModel(None, task="pose", image_size=64, max_det=4,
+                  conf_thresh=0.0, half_precision=False)
+    img = np.random.default_rng(2).integers(0, 255, (48, 64, 3), np.uint8)
+    decoded = {k: np.asarray(v) for k, v in m.device_decode(img).items()}
+    assert decoded["kpts"].shape == (4, 17, 3)
+    assert np.isfinite(decoded["kpts"]).all()
+
+    entries = summarize(decoded, m.class_names, task="pose")
+    assert entries, "conf_thresh=0 must yield at least one detection"
+    kp = entries[0]["keypoints"]
+    assert len(kp["x"]) == len(kp["y"]) == len(kp["visible"]) == 17
+    assert all(0.0 <= v <= 1.0 for v in kp["visible"])
+
+    parsed = MAP_FN["pose"](entries[0])
+    assert isinstance(parsed, PoseData)
+    assert len(parsed.keypoints) == 17
+
+
 def test_torpedoes_handler_writes_shm():
     from cuauv_vision_pipeline_tpu.core import shm
     from cuauv_vision_pipeline_tpu.handlers.torpedoes import TorpedoesOBB
