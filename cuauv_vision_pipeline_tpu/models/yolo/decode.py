@@ -230,7 +230,9 @@ def decode(
 
     Returns dict of [max_det]-shaped arrays: xyxy, score, cls, valid,
     plus angle (obb) / kpts (pose) when present. Coordinates are in model
-    input pixels (callers rescale to the original frame).
+    input pixels (callers rescale to the original frame); axis-aligned
+    boxes are clipped to [0, image_size] after NMS (ultralytics
+    clip_boxes), rotated ones are not.
     """
     flat = _flatten_scales(outputs, image_size)
     cls = flat["cls"][0]  # [N, C]
@@ -252,6 +254,11 @@ def decode(
         "cls": jnp.where(valid, classes[safe], -1),
         "valid": valid,
     }
+    if angle is None:
+        # axis-aligned tasks clip to the model square (ultralytics
+        # clip_boxes after NMS); rotated boxes keep out-of-frame corners
+        # like ultralytics OBB — clipping xyxy would distort the rotation
+        out["xyxy"] = jnp.clip(out["xyxy"], 0.0, float(image_size))
     if angle is not None:
         out["angle"] = angle[safe]
     if "kpts" in flat:
@@ -270,21 +277,27 @@ def decode(
 def obb_corners(
     xyxy: jnp.ndarray, angle: jnp.ndarray
 ) -> jnp.ndarray:
-    """[M, 4] xyxy + [M] angle -> [M, 4, 2] rotated corners (x, y)."""
+    """[M, 4] xyxy + [M] angle -> [M, 4, 2] rotated corners (x, y).
+
+    Array-namespace generic: numpy in, numpy out — the host summarize
+    path below must stay numpy (an eager jax op there costs a full device
+    round trip per frame on remote-attached backends, measured ~70 ms
+    hiding inside "host" time) while device callers pass tracers."""
+    xp = np if isinstance(xyxy, np.ndarray) else jnp
     cx = (xyxy[:, 0] + xyxy[:, 2]) / 2
     cy = (xyxy[:, 1] + xyxy[:, 3]) / 2
     w = xyxy[:, 2] - xyxy[:, 0]
     h = xyxy[:, 3] - xyxy[:, 1]
-    cos = jnp.cos(angle)
-    sin = jnp.sin(angle)
+    cos = xp.cos(angle)
+    sin = xp.sin(angle)
     corners = []
     for sx, sy in ((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)):
         dx = sx * w
         dy = sy * h
         corners.append(
-            jnp.stack([cx + dx * cos - dy * sin, cy + dx * sin + dy * cos], -1)
+            xp.stack([cx + dx * cos - dy * sin, cy + dx * sin + dy * cos], -1)
         )
-    return jnp.stack(corners, axis=1)
+    return xp.stack(corners, axis=1)
 
 
 def summarize(
@@ -293,13 +306,17 @@ def summarize(
     scale: Tuple[float, float] = (1.0, 1.0),
     task: str = "detect",
     pad: Tuple[float, float] = (0.0, 0.0),
+    clip_wh: Tuple[float, float] = None,
 ) -> List[Dict]:
     """Device detections -> ultralytics Results.summary()-style dicts
     (the format the reference's MAP_FN parsers consume,
     reference modules/yolo.py:116-123).
 
     Coordinates map back to the original frame as (v - pad) * scale, undoing
-    the letterbox applied by model.preprocess."""
+    the letterbox applied by model.preprocess. clip_wh=(w, h) additionally
+    clamps detect boxes and pose keypoints to the original frame (what
+    ultralytics scale_boxes/scale_coords do); rotated OBB corners are never
+    clipped (parity with ultralytics OBB, which keeps them)."""
     results = []
     valid = np.asarray(decoded["valid"])
     xyxy = np.asarray(decoded["xyxy"])
@@ -308,23 +325,18 @@ def summarize(
     sx, sy = scale
     px, py = pad
 
+    def _cx(v: float) -> float:  # frame-space x, optionally clamped
+        v = (v - px) * sx
+        return min(max(v, 0.0), clip_wh[0]) if clip_wh else v
+
+    def _cy(v: float) -> float:
+        v = (v - py) * sy
+        return min(max(v, 0.0), clip_wh[1]) if clip_wh else v
+
     if task == "obb":
-        # pure numpy on the host path: an eager jax call here costs a full
-        # device round trip per frame on remote-attached backends (measured
-        # ~70 ms hiding inside "host" time)
-        angle = np.asarray(decoded["angle"])
-        cx = (xyxy[:, 0] + xyxy[:, 2]) / 2
-        cy = (xyxy[:, 1] + xyxy[:, 3]) / 2
-        w = xyxy[:, 2] - xyxy[:, 0]
-        h = xyxy[:, 3] - xyxy[:, 1]
-        cos, sin = np.cos(angle), np.sin(angle)
-        pts = []
-        for sx_, sy_ in ((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)):
-            dx, dy = sx_ * w, sy_ * h
-            pts.append(
-                np.stack([cx + dx * cos - dy * sin, cy + dx * sin + dy * cos], -1)
-            )
-        corners = np.stack(pts, axis=1)
+        # numpy stays numpy inside obb_corners (host path: an eager jax
+        # call here costs a device round trip per frame)
+        corners = obb_corners(xyxy, np.asarray(decoded["angle"]))
 
     for i in np.nonzero(valid)[0]:
         cls_id = int(classes[i])
@@ -344,14 +356,14 @@ def summarize(
             }
         else:
             entry["box"] = {
-                "x1": float((xyxy[i, 0] - px) * sx), "y1": float((xyxy[i, 1] - py) * sy),
-                "x2": float((xyxy[i, 2] - px) * sx), "y2": float((xyxy[i, 3] - py) * sy),
+                "x1": float(_cx(xyxy[i, 0])), "y1": float(_cy(xyxy[i, 1])),
+                "x2": float(_cx(xyxy[i, 2])), "y2": float(_cy(xyxy[i, 3])),
             }
         if task == "pose" and "kpts" in decoded:
             k = np.asarray(decoded["kpts"])[i]
             entry["keypoints"] = {
-                "x": [float((v - px) * sx) for v in k[:, 0]],
-                "y": [float((v - py) * sy) for v in k[:, 1]],
+                "x": [float(_cx(v)) for v in k[:, 0]],
+                "y": [float(_cy(v)) for v in k[:, 1]],
                 "visible": [float(v) for v in k[:, 2]],
             }
         results.append(entry)

@@ -225,9 +225,15 @@ def create_model(
     task: str = "detect",
     image_size: int = 640,
     seed: int = 0,
+    num_keypoints: int = 17,
 ) -> Tuple[YOLO, Dict[str, Any]]:
     """Build a model and initialize parameters."""
-    model = YOLO(num_classes=num_classes, size=size, task=task)
+    model = YOLO(
+        num_classes=num_classes,
+        size=size,
+        task=task,
+        num_keypoints=num_keypoints,
+    )
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy)
     return model, variables

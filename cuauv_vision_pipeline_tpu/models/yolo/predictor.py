@@ -184,10 +184,23 @@ class YoloModel:
         if weight_path and os.path.exists(weight_path):
             self.model, self.variables, meta = load_checkpoint(weight_path)
             self.task = meta.get("task", task)
-            self.class_names = meta.get("names", list(class_names or DEFAULT_CLASS_NAMES))
+            # `or`, not .get(default): a .pt without embedded names stores
+            # names as [] — falling through to str(cls_id) names would make
+            # every detection miss the name-keyed handler buckets
+            self.class_names = list(
+                meta.get("names") or class_names or DEFAULT_CLASS_NAMES
+            )
         else:
             if weight_path:
-                print(f"[yolo] weight '{weight_path}' not found; random init")
+                import warnings
+
+                warnings.warn(
+                    f"YOLO weight '{weight_path}' not found — serving "
+                    f"RANDOM-INIT weights (detections are noise). Fix the "
+                    f"path / CUAUV_YOLO_WEIGHT for production.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             self.class_names = list(class_names or DEFAULT_CLASS_NAMES)
             self.task = task
             self.model, self.variables = create_model(
@@ -212,28 +225,44 @@ class YoloModel:
 
         def prep_vars(variables):
             """Materialize apply()-ready params from the inference store:
-            dequantize int8 kernels to bf16 (fused into each conv's weight
-            read by XLA), bf16-cast the rest when half_precision."""
+            dequantize int8 kernels (fused into each conv's weight read by
+            XLA), bf16-cast the rest when half_precision."""
             if self.quantize == "int8":
                 qvars, scales = variables
+                # dequant target follows half_precision: the exact-f32
+                # debug mode must not add bf16 rounding on top of int8
+                tgt = jnp.bfloat16 if half else jnp.float32
 
                 def deq(q, s):
                     if q.dtype == jnp.int8:
-                        return q.astype(jnp.bfloat16) * jnp.asarray(
-                            s, jnp.bfloat16
-                        )
+                        return q.astype(tgt) * jnp.asarray(s, tgt)
                     if half and jnp.issubdtype(q.dtype, jnp.floating):
                         return q.astype(jnp.bfloat16)
                     return q
 
                 return jax.tree.map(deq, qvars, scales)
             if half:
-                return jax.tree.map(
-                    lambda p: p.astype(jnp.bfloat16)
-                    if jnp.issubdtype(p.dtype, jnp.floating)
-                    else p,
-                    variables,
-                )
+                from jax.tree_util import DictKey, tree_map_with_path
+
+                skip_kernels = self.quantize == "w8a8"
+
+                def cast(path, p):
+                    # w8a8: the interceptor quantizes each conv kernel from
+                    # its stored value — bf16-casting kernels first would
+                    # waste the cast AND bake bf16 rounding into the int8
+                    # scales (the weight-only mode takes scales from f32)
+                    if (
+                        skip_kernels
+                        and path
+                        and isinstance(path[-1], DictKey)
+                        and path[-1].key == "kernel"
+                    ):
+                        return p
+                    if jnp.issubdtype(p.dtype, jnp.floating):
+                        return p.astype(jnp.bfloat16)
+                    return p
+
+                return tree_map_with_path(cast, variables)
             return variables
 
         self._prep_vars = prep_vars
@@ -326,6 +355,7 @@ class YoloModel:
             (1.0 / scale, 1.0 / scale),
             self.task,
             pad=(left, top),
+            clip_wh=(float(w), float(h)),
         )
 
     def predict(self, image: np.ndarray) -> List[Dict]:

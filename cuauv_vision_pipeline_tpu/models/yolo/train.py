@@ -97,6 +97,25 @@ def detection_loss(
         denom = jnp.maximum(valid_t.sum(), 1)
         total = total + (box_l1.sum() / denom) / stride
 
+        # DFL distribution loss (ultralytics df_loss): cross-entropy of
+        # each side's bin distribution against the two integer bins
+        # bracketing the stride-unit target, linearly weighted. The L1
+        # term above can be satisfied by a diffuse distribution with the
+        # right mean; this term sharpens it.
+        logits = box_map.reshape(B, H * W, 4, reg_max)
+        picked_logits = jnp.take_along_axis(
+            logits, flat_idx[..., None, None], axis=1
+        )  # [B, T, 4, reg_max]
+        t_bins = jnp.clip(gt_ltrb / stride, 0.0, reg_max - 1 - 1e-4)
+        tl = jnp.floor(t_bins)
+        wl = tl + 1.0 - t_bins
+        logp = jax.nn.log_softmax(picked_logits, axis=-1)
+        tl_i = tl.astype(jnp.int32)
+        lp_l = jnp.take_along_axis(logp, tl_i[..., None], axis=-1)[..., 0]
+        lp_r = jnp.take_along_axis(logp, (tl_i + 1)[..., None], axis=-1)[..., 0]
+        dfl = -(wl * lp_l + (1.0 - wl) * lp_r)  # [B, T, 4]
+        total = total + (dfl.mean(-1) * valid_t).sum() / denom
+
     return total
 
 

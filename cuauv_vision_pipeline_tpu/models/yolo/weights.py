@@ -73,6 +73,7 @@ def save_checkpoint(path: str, model: YOLO, variables: Dict, extra: Dict) -> Non
         "task": model.task,
         "size": model.size,
         "num_classes": model.num_classes,
+        "num_keypoints": model.num_keypoints,
         **extra,
     }
     with open(path + ".json", "w") as fh:
@@ -93,6 +94,7 @@ def load_checkpoint(path: str) -> Tuple[YOLO, Dict, Dict]:
         meta.get("num_classes", 80),
         size=meta.get("size", "n"),
         task=meta.get("task", "detect"),
+        num_keypoints=meta.get("num_keypoints", 17),
     )
     with open(path, "rb") as fh:
         variables = serialization.from_bytes(variables, fh.read())
@@ -221,9 +223,20 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
     )
     if isinstance(names, dict):
         names = [names[k] for k in sorted(names)]
-    task = getattr(torch_model, "task", None) or (
-        ckpt.get("task", "detect") if isinstance(ckpt, dict) else "detect"
-    )
+    # task lives in different places across ultralytics versions: a .task
+    # attribute on the pickled model, a top-level "task" key, or (most
+    # commonly in real exports) ckpt["train_args"]["task"]; fall through to
+    # structural inference from the head's cv4 branch below — defaulting an
+    # OBB checkpoint to "detect" silently loses the angle branch.
+    task = getattr(torch_model, "task", None)
+    if not task and isinstance(ckpt, dict):
+        task = ckpt.get("task")
+        if not task:
+            targs = ckpt.get("train_args")
+            if isinstance(targs, dict):
+                task = targs.get("task")
+            elif targs is not None:
+                task = getattr(targs, "task", None)
     if hasattr(torch_model, "state_dict"):
         raw = torch_model.state_dict()
     else:
@@ -248,8 +261,27 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
         len(names) if names
         else (cls_bias.shape[0] if cls_bias is not None else 80)
     )
+    # the extra head branch identifies the task when nothing declared it:
+    # OBB's angle branch ends in 1 channel, pose's keypoint branch in 3*nk
+    cv4_bias = state.get(f"model.{_HEAD_IDX}.cv4.0.2.bias")
+    if not task:
+        if cv4_bias is None:
+            task = "detect"
+        elif cv4_bias.shape[0] == 1:
+            task = "obb"
+        else:
+            task = "pose"
+    # pose checkpoints carry their kpt_shape in the branch width — a custom
+    # nk (e.g. 4-point AUV targets) must not shape-mismatch onto 17
+    num_keypoints = (
+        int(cv4_bias.shape[0]) // 3
+        if task == "pose" and cv4_bias is not None
+        else 17
+    )
 
-    model, variables = create_model(num_classes, size=size, task=task)
+    model, variables = create_model(
+        num_classes, size=size, task=task, num_keypoints=num_keypoints
+    )
     variables, report = map_ultralytics_state(state, variables, task)
     print(
         f"[yolo] .pt import ({task}/{size}): {report['mapped']} tensors mapped, "
@@ -271,5 +303,10 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
             RuntimeWarning,
             stacklevel=2,
         )
-    meta = {"task": task, "size": size, "names": names or []}
+    meta = {
+        "task": task,
+        "size": size,
+        "names": names or [],
+        "num_keypoints": num_keypoints,
+    }
     return model, variables, meta

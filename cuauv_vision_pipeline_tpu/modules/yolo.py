@@ -80,6 +80,17 @@ class Yolo(ModuleBase, HandlerMixin):
         HandlerMixin.__init__(self, handlers)
 
         self.weight_path = weight or DEFAULT_WEIGHT
+        # an EXPLICITLY configured weight that is missing must fail fast —
+        # a typo'd CUAUV_YOLO_WEIGHT would otherwise serve random-init
+        # detections while the module looks healthy (frames/latency in
+        # shm.yolo_status keep updating). The un-set default path still
+        # falls back (dev machines run random weights on purpose).
+        explicit = weight is not None or bool(os.environ.get("CUAUV_YOLO_WEIGHT"))
+        if explicit and not os.path.exists(self.weight_path):
+            raise FileNotFoundError(
+                f"configured YOLO weight '{self.weight_path}' does not exist "
+                f"(weight arg / CUAUV_YOLO_WEIGHT)"
+            )
         self.model = YoloModel(self.weight_path, task="obb")
         self.model.to("tpu")  # parity shim; jax owns placement
         self.yolo_model_type = self.model.task

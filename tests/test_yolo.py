@@ -422,6 +422,113 @@ def test_load_pt_checkpoint_via_torch(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_pt_task_from_train_args_and_structure(tmp_path):
+    """Real ultralytics exports keep task in ckpt['train_args'], not the
+    top level; and with no declaration anywhere the head's cv4 branch
+    identifies the task (1 channel = obb, 3*nk = pose, absent = detect).
+    Regression: an obb .pt without a top-level 'task' key silently
+    imported as detect, dropping the angle branch with no warning."""
+    torch = pytest.importorskip("torch")
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import (
+        export_ultralytics_state,
+        load_checkpoint,
+    )
+
+    _, variables = create_model(2, size="n", task="obb", image_size=64)
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in export_ultralytics_state(variables, "obb").items()}
+    names = {0: "a", 1: "b"}
+
+    p1 = tmp_path / "train_args.pt"
+    torch.save({"model": state, "train_args": {"task": "obb"}, "names": names}, p1)
+    model, _, meta = load_checkpoint(str(p1))
+    assert meta["task"] == "obb" and model.task == "obb"
+
+    p2 = tmp_path / "bare.pt"
+    torch.save({"model": state, "names": names}, p2)
+    model, _, meta = load_checkpoint(str(p2))
+    assert meta["task"] == "obb" and model.task == "obb"
+
+    _, dvars = create_model(2, size="n", task="detect", image_size=64)
+    dstate = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in export_ultralytics_state(dvars, "detect").items()}
+    p3 = tmp_path / "bare_detect.pt"
+    torch.save({"model": dstate, "names": names}, p3)
+    model, _, meta = load_checkpoint(str(p3))
+    assert meta["task"] == "detect"
+
+
+@pytest.mark.slow
+def test_pt_pose_custom_keypoint_count(tmp_path):
+    """A pose .pt with a non-COCO kpt count (nk=4) must infer nk from the
+    cv4 branch width and map every tensor — hardcoding 17 shape-mismatched
+    the whole keypoint head into random init."""
+    torch = pytest.importorskip("torch")
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import (
+        export_ultralytics_state,
+        load_checkpoint,
+    )
+
+    _, variables = create_model(
+        2, size="n", task="pose", image_size=64, num_keypoints=4
+    )
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in export_ultralytics_state(variables, "pose").items()}
+    path = tmp_path / "pose4.pt"
+    torch.save({"model": state, "names": {0: "a", 1: "b"}}, path)
+
+    model, loaded, meta = load_checkpoint(str(path))
+    assert meta["task"] == "pose"
+    assert model.num_keypoints == 4
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_empty_checkpoint_names_fall_back(tmp_path):
+    """A checkpoint whose meta stores names=[] (what a .pt without
+    embedded names produces) must not override the caller's class_names —
+    str(cls_id) names would match no handler bucket."""
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import save_checkpoint
+
+    model, variables = create_model(2, size="p", task="detect", image_size=64)
+    path = str(tmp_path / "m.msgpack")
+    save_checkpoint(
+        path, model, jax.tree.map(np.asarray, variables), {"names": []}
+    )
+    m = YoloModel(path, class_names=["shark", "saw"], image_size=64)
+    assert m.class_names == ["shark", "saw"]
+
+
+def test_summarize_clips_detect_boxes_not_obb_corners():
+    """clip_wh clamps detect boxes and pose keypoints to the frame
+    (ultralytics scale_boxes/scale_coords parity); rotated OBB corners
+    stay unclipped (ultralytics OBB keeps them)."""
+    decoded = {
+        "xyxy": np.array([[-10.0, -5.0, 700.0, 500.0]], np.float32),
+        "score": np.array([0.9], np.float32),
+        "cls": np.array([0], np.int32),
+        "valid": np.array([True]),
+    }
+    out = summarize(decoded, ["x"], task="detect", clip_wh=(640.0, 480.0))
+    b = out[0]["box"]
+    assert (b["x1"], b["y1"], b["x2"], b["y2"]) == (0.0, 0.0, 640.0, 480.0)
+
+    decoded["angle"] = np.array([0.0], np.float32)
+    out = summarize(decoded, ["x"], task="obb", clip_wh=(640.0, 480.0))
+    b = out[0]["box"]
+    assert b["x1"] == -10.0 and b["y3"] == 500.0  # corners untouched
+
+    decoded_pose = dict(decoded)
+    del decoded_pose["angle"]
+    decoded_pose["kpts"] = np.array(
+        [[[-3.0, 490.0, 0.7], [650.0, 10.0, 0.2]]], np.float32
+    )
+    out = summarize(decoded_pose, ["x"], task="pose", clip_wh=(640.0, 480.0))
+    kp = out[0]["keypoints"]
+    assert kp["x"] == [0.0, 640.0] and kp["y"] == [480.0, 10.0]
+
+
 # ── round-2 fixes: dist2rbox, probiou NMS, letterbox ─────────────────────
 
 
