@@ -78,6 +78,15 @@ def main() -> int:
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--eval-scenes", type=int, default=64)
     ap.add_argument("--out", default="/tmp/synth_yolo.msgpack")
+    ap.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel device count (--batch must divide by it); "
+        "demo on CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8",
+    )
+    ap.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel device count (shards wide conv channels)",
+    )
     args = ap.parse_args()
 
     from cuauv_vision_pipeline_tpu.core.jaxconfig import (
@@ -115,11 +124,43 @@ def main() -> int:
     state, tx = create_train_state(model, variables, learning_rate=args.lr)
     step = jax.jit(make_train_step(model, tx))
 
+    # multi-device: dp shards the frame batch, tp shards wide conv output
+    # channels (parallel/mesh.py); XLA GSPMD inserts the gradient psums —
+    # the step function is unchanged. Same layout the driver dry-runs in
+    # __graft_entry__.dryrun_multichip.
+    put = lambda x: x  # noqa: E731 - identity on a single device
+    if args.dp * args.tp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cuauv_vision_pipeline_tpu.parallel.mesh import (
+            make_mesh,
+            param_shardings,
+        )
+
+        assert args.batch % args.dp == 0, "--batch must divide by --dp"
+        mesh = make_mesh(args.dp * args.tp, dp=args.dp, tp=args.tp)
+        repl = NamedSharding(mesh, P())
+        data_shard = NamedSharding(mesh, P("data"))
+        p_shard = param_shardings(mesh, state.params, min_channels=32)
+        state = type(state)(
+            params=jax.tree.map(jax.device_put, state.params, p_shard),
+            batch_stats=jax.tree.map(
+                lambda x: jax.device_put(x, repl), state.batch_stats
+            ),
+            opt_state=jax.tree.map(
+                lambda x: jax.device_put(x, repl), state.opt_state
+            ),
+            step=jax.device_put(state.step, repl),
+        )
+        put = lambda x: jax.device_put(x, data_shard)  # noqa: E731
+        print(f"[train] mesh: dp={args.dp} tp={args.tp} "
+              f"({args.dp * args.tp} devices)")
+
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     for i in range(args.steps):
         imgs, boxes, cls = make_batch(rng, args.batch, args.image_size)
-        state, loss = step(state, to_model_input(imgs), boxes, cls)
+        state, loss = step(state, put(to_model_input(imgs)), put(boxes), put(cls))
         if i % 50 == 0 or i == args.steps - 1:
             print(
                 f"[train] step {i:5d}  loss {float(loss):8.4f}  "
