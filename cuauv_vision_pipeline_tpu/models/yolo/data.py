@@ -86,7 +86,30 @@ class PoseData(YOLOData):
     keypoints: List[Tuple[float, float, float]] = field(default_factory=list)
 
 
-DetectionData = Union[YOLOData, OBBData, PoseData]
+@dataclass
+class SegmentData(YOLOData):
+    """Detection with an instance-mask polygon (task 'segment'):
+    [(x, y), ...] in frame pixels. Beyond the reference's MAP_FN (its
+    modules stopped at detect/obb/pose, reference modules/yolo.py:54-55);
+    handlers that only need the box treat it as YOLOData."""
+
+    segments: List[Tuple[float, float]] = field(default_factory=list)
+
+    @property
+    def polygon_area(self) -> float:
+        """Shoelace area of the mask polygon (0 when empty)."""
+        n = len(self.segments)
+        if n < 3:
+            return 0.0
+        total = 0.0
+        for i in range(n):
+            x0, y0 = self.segments[i]
+            x1, y1 = self.segments[(i + 1) % n]
+            total += x0 * y1 - x1 * y0
+        return abs(total) / 2.0
+
+
+DetectionData = Union[YOLOData, OBBData, PoseData, SegmentData]
 
 
 def _parse_detect(result: Dict) -> YOLOData:
@@ -143,8 +166,29 @@ def _parse_pose(result: Dict) -> PoseData:
     )
 
 
+def _parse_segment(result: Dict) -> SegmentData:
+    base = _parse_detect(result)
+    seg = result.get("segments", {})
+    pts = [
+        (float(x), float(y))
+        for x, y in zip(seg.get("x", []), seg.get("y", []))
+    ]
+    return SegmentData(
+        name=base.name,
+        class_id=base.class_id,
+        confidence=base.confidence,
+        x1=base.x1,
+        y1=base.y1,
+        x2=base.x2,
+        y2=base.y2,
+        track_id=base.track_id,
+        segments=pts,
+    )
+
+
 MAP_FN: Dict[str, Callable[[Dict], DetectionData]] = {
     "detect": _parse_detect,
     "obb": _parse_obb,
     "pose": _parse_pose,
+    "segment": _parse_segment,
 }

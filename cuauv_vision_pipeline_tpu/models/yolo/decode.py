@@ -22,7 +22,7 @@ def _flatten_scales(
     outputs: Dict[str, List[jnp.ndarray]], image_size: int
 ) -> Dict[str, jnp.ndarray]:
     """Concatenate per-scale maps into per-anchor rows + anchor centers."""
-    boxes, clses, angles, kpts = [], [], [], []
+    boxes, clses, angles, kpts, mcoefs = [], [], [], [], []
     centers, strides = [], []
     for i, stride in enumerate(STRIDES):
         bm = outputs["box"][i]
@@ -34,6 +34,8 @@ def _flatten_scales(
             angles.append(outputs["angle"][i].reshape(B, H * W, 1))
         if "kpts" in outputs:
             kpts.append(outputs["kpts"][i].reshape(B, H * W, -1))
+        if "mcoef" in outputs:
+            mcoefs.append(outputs["mcoef"][i].reshape(B, H * W, -1))
         ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) * stride
         xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * stride
         cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
@@ -50,7 +52,40 @@ def _flatten_scales(
         out["angle"] = jnp.concatenate(angles, axis=1)
     if kpts:
         out["kpts"] = jnp.concatenate(kpts, axis=1)
+    if mcoefs:
+        out["mcoef"] = jnp.concatenate(mcoefs, axis=1)
     return out
+
+
+def compose_masks(
+    proto: jnp.ndarray,
+    coefs: jnp.ndarray,
+    boxes_xyxy: jnp.ndarray,
+    image_size: int,
+) -> jnp.ndarray:
+    """Per-detection instance masks from prototypes, entirely on device.
+
+    proto [Hp, Wp, nm] + coefs [M, nm] -> sigmoid(proto @ coefs.T) cropped
+    to each detection's box — ultralytics' process_mask (utils/ops.py) as
+    one einsum + a broadcast crop instead of a torch matmul + python crop.
+    Boxes are model-input xyxy; the crop rescales them onto the prototype
+    grid (exclusive right/bottom edge like crop_mask). Returns [M, Hp, Wp]
+    mask probabilities (threshold at 0.5 for binary; ultralytics' .gt_(0)
+    on logits is the same cut)."""
+    hp, wp = proto.shape[0], proto.shape[1]
+    logits = jnp.einsum("hwc,mc->mhw", proto, coefs)
+    masks = jax.nn.sigmoid(logits)
+    # box corners in prototype pixels (proto is image_size / Hp per cell)
+    sx = wp / float(image_size)
+    sy = hp / float(image_size)
+    x1 = boxes_xyxy[:, 0:1, None] * sx
+    y1 = boxes_xyxy[:, 1:2, None] * sy
+    x2 = boxes_xyxy[:, 2:3, None] * sx
+    y2 = boxes_xyxy[:, 3:4, None] * sy
+    cols = jnp.arange(wp, dtype=jnp.float32)[None, None, :]
+    rows = jnp.arange(hp, dtype=jnp.float32)[None, :, None]
+    inside = (cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)
+    return masks * inside.astype(masks.dtype)
 
 
 def _dfl_expectation(box_logits: jnp.ndarray, reg_max: int) -> jnp.ndarray:
@@ -229,7 +264,8 @@ def decode(
     """Decode one image's raw head outputs into fixed-size detections.
 
     Returns dict of [max_det]-shaped arrays: xyxy, score, cls, valid,
-    plus angle (obb) / kpts (pose) when present. Coordinates are in model
+    plus angle (obb) / kpts (pose) / mask [max_det, S/4, S/4] probabilities
+    (segment) when present. Coordinates are in model
     input pixels (callers rescale to the original frame); axis-aligned
     boxes are clipped to [0, image_size] after NMS (ultralytics
     clip_boxes), rotated ones are not.
@@ -271,6 +307,13 @@ def decode(
         ky = (k[..., 1] * 2.0) * strides[:, None] + (centers[:, 1:2] - 0.5 * strides[:, None])
         kv = jax.nn.sigmoid(k[..., 2])
         out["kpts"] = jnp.stack([kx, ky, kv], axis=-1)[safe]
+    if "mcoef" in flat and "proto" in outputs:
+        coefs = flat["mcoef"][0][safe]  # [max_det, nm]
+        masks = compose_masks(
+            outputs["proto"][0], coefs, out["xyxy"], image_size
+        )
+        # invalid slots must not leak the argmax-0 anchor's mask
+        out["mask"] = masks * valid[:, None, None].astype(masks.dtype)
     return out
 
 
@@ -307,6 +350,7 @@ def summarize(
     task: str = "detect",
     pad: Tuple[float, float] = (0.0, 0.0),
     clip_wh: Tuple[float, float] = None,
+    image_size: int = None,
 ) -> List[Dict]:
     """Device detections -> ultralytics Results.summary()-style dicts
     (the format the reference's MAP_FN parsers consume,
@@ -316,7 +360,14 @@ def summarize(
     the letterbox applied by model.preprocess. clip_wh=(w, h) additionally
     clamps detect boxes and pose keypoints to the original frame (what
     ultralytics scale_boxes/scale_coords do); rotated OBB corners are never
-    clipped (parity with ultralytics OBB, which keeps them)."""
+    clipped (parity with ultralytics OBB, which keeps them).
+
+    For the segment task (requires ``image_size``, the model input square)
+    each entry carries ``segments: {x: [...], y: [...]}`` — the largest
+    external polygon of the thresholded (0.5) instance mask, traced at
+    prototype resolution and mapped through mask -> model (pixel-center
+    x image_size/Hp) -> frame coordinates, the format ultralytics
+    Results.summary() emits for -seg models."""
     results = []
     valid = np.asarray(decoded["valid"])
     xyxy = np.asarray(decoded["xyxy"])
@@ -366,5 +417,22 @@ def summarize(
                 "y": [float(_cy(v)) for v in k[:, 1]],
                 "visible": [float(v) for v in k[:, 2]],
             }
+        if task == "segment" and "mask" in decoded and image_size:
+            from ...utils.contours import contour_area, find_contours
+
+            mask = np.asarray(decoded["mask"])[i] >= 0.5
+            # mask pixel centers -> model pixels (proto grid is square)
+            factor = float(image_size) / mask.shape[0]
+            polys = find_contours(mask.astype(np.uint8))
+            if polys:
+                poly = max(polys, key=contour_area).reshape(-1, 2)
+                mx = (poly[:, 0] + 0.5) * factor
+                my = (poly[:, 1] + 0.5) * factor
+                entry["segments"] = {
+                    "x": [float(_cx(v)) for v in mx],
+                    "y": [float(_cy(v)) for v in my],
+                }
+            else:
+                entry["segments"] = {"x": [], "y": []}
         results.append(entry)
     return results

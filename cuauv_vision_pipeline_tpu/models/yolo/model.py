@@ -4,7 +4,12 @@ Replaces the reference's ultralytics/torch inference (reference
 modules/yolo.py:44-58) with a JAX graph: CSP backbone (Conv-BN-SiLU + C2f
 blocks + SPPF), PAN neck, and decoupled heads for the three tasks the
 reference consumes — 'detect' (DFL box regression + classification), 'obb'
-(adds an angle branch), and 'pose' (adds a keypoint branch). Sizes follow
+(adds an angle branch), and 'pose' (adds a keypoint branch) — plus
+'segment' (mask-coefficient branch + Proto prototype head), which the
+reference's ultralytics backend supports but its modules never exercised
+(reference modules/yolo.py:54-55 names detect/obb/pose "for now"; a user
+switching with a -seg.pt checkpoint still gets instance masks here). Sizes
+follow
 the ultralytics n/s/m width-depth multiples so real checkpoint shapes map
 1:1 (weight import in weights.py).
 
@@ -122,6 +127,30 @@ def _upsample2(x):
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
 
 
+class Proto(nn.Module):
+    """Mask prototype head (ultralytics v8 Segment's Proto): Conv ->
+    learnable 2x ConvTranspose upsample -> Conv -> 1x1 Conv, producing
+    ``num_masks`` prototype maps at 1/4 model resolution from the P3
+    feature. Per-detection masks are linear combinations of these
+    prototypes (decode.compose_masks)."""
+
+    mid_channels: int
+    num_masks: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnSilu(self.mid_channels, 3)(x, train)
+        # flax ConvTranspose (transpose_kernel=False) correspondence with
+        # torch ConvTranspose2d is pinned in weights.py (spatial flip +
+        # IOHW<->HWIO) and tested numerically vs torch in test_yolo_segment
+        x = nn.ConvTranspose(
+            self.mid_channels, (2, 2), strides=(2, 2), padding="VALID",
+            name="up",
+        )(x)
+        x = ConvBnSilu(self.mid_channels, 3)(x, train)
+        return ConvBnSilu(self.num_masks, 1)(x, train)
+
+
 class YOLO(nn.Module):
     """Backbone + PAN neck + per-scale heads.
 
@@ -130,14 +159,17 @@ class YOLO(nn.Module):
         cls: [B, H_i, W_i, num_classes]
         angle: [B, H_i, W_i, 1] (task='obb')
         kpts: [B, H_i, W_i, 3*num_keypoints] (task='pose')
-    at strides (8, 16, 32).
+        mcoef: [B, H_i, W_i, num_masks] (task='segment')
+    at strides (8, 16, 32); task='segment' additionally carries a single
+    'proto' array [B, S/4, S/4, num_masks] of mask prototypes.
     """
 
     num_classes: int = 80
     size: str = "n"
-    task: str = "detect"  # detect | obb | pose
+    task: str = "detect"  # detect | obb | pose | segment
     reg_max: int = 16
     num_keypoints: int = 17
+    num_masks: int = 32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,6 +214,8 @@ class YOLO(nn.Module):
             outputs["angle"] = []
         if self.task == "pose":
             outputs["kpts"] = []
+        if self.task == "segment":
+            outputs["mcoef"] = []
 
         # branch widths follow ultralytics v8 Detect/OBB/Pose so real .pt
         # checkpoints map tensor-for-tensor (weights.py)
@@ -189,6 +223,7 @@ class YOLO(nn.Module):
         cls_ch = max(ch(256), min(self.num_classes, 100))
         ang_ch = max(ch(256) // 4, 1)
         kpt_ch = max(ch(256) // 4, 3 * self.num_keypoints)
+        seg_ch = max(ch(256) // 4, self.num_masks)
 
         for i, feat in enumerate((n3, n4b, n5)):
             b = ConvBnSilu(box_ch, 3, name=f"box_conv1_{i}")(feat, train)
@@ -215,6 +250,20 @@ class YOLO(nn.Module):
                 outputs["kpts"].append(
                     nn.Conv(3 * self.num_keypoints, (1, 1), name=f"kpt_out_{i}")(k)
                 )
+            if self.task == "segment":
+                m = ConvBnSilu(seg_ch, 3, name=f"mask_conv1_{i}")(feat, train)
+                m = ConvBnSilu(seg_ch, 3, name=f"mask_conv2_{i}")(m, train)
+                outputs["mcoef"].append(
+                    nn.Conv(self.num_masks, (1, 1), name=f"mask_out_{i}")(m)
+                )
+
+        if self.task == "segment":
+            # prototype maps from the finest PAN output (ultralytics feeds
+            # Proto with the same P3 feature the scale-0 head sees); npr is
+            # width-scaled like any channel count (parse_model make_divisible)
+            outputs["proto"] = Proto(  # type: ignore[assignment]
+                ch(256), self.num_masks, name="proto"
+            )(n3, train)
 
         return outputs
 
@@ -226,6 +275,7 @@ def create_model(
     image_size: int = 640,
     seed: int = 0,
     num_keypoints: int = 17,
+    num_masks: int = 32,
 ) -> Tuple[YOLO, Dict[str, Any]]:
     """Build a model and initialize parameters."""
     model = YOLO(
@@ -233,6 +283,7 @@ def create_model(
         size=size,
         task=task,
         num_keypoints=num_keypoints,
+        num_masks=num_masks,
     )
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy)

@@ -356,6 +356,7 @@ class YoloModel:
             self.task,
             pad=(left, top),
             clip_wh=(float(w), float(h)),
+            image_size=self.image_size,
         )
 
     def predict(self, image: np.ndarray) -> List[Dict]:

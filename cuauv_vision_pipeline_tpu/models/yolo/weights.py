@@ -19,7 +19,8 @@ Layer correspondence (ultralytics yolov8*.yaml index -> flax module):
     12,15  neck top-down C2f           -> C2f_4, C2f_5
     16,19  neck bottom-up downsamples  -> ConvBnSilu_5, ConvBnSilu_6
     18,21  neck bottom-up C2f          -> C2f_6, C2f_7
-    22     Detect/OBB/Pose head        -> {box,cls,ang,kpt}_{conv1,conv2,out}_{s}
+    22     Detect/OBB/Pose/Segment head -> {box,cls,ang,kpt,mask}_{conv1,conv2,out}_{s}
+           (+ Segment's model.22.proto.{cv1,upsample,cv2,cv3} -> proto/*)
 
 Within a Conv module: ``.conv.weight`` (OIHW) <-> ``Conv_0/kernel`` (HWIO),
 ``.bn.{weight,bias,running_mean,running_var}`` <->
@@ -74,6 +75,7 @@ def save_checkpoint(path: str, model: YOLO, variables: Dict, extra: Dict) -> Non
         "size": model.size,
         "num_classes": model.num_classes,
         "num_keypoints": model.num_keypoints,
+        "num_masks": model.num_masks,
         **extra,
     }
     with open(path + ".json", "w") as fh:
@@ -95,6 +97,7 @@ def load_checkpoint(path: str) -> Tuple[YOLO, Dict, Dict]:
         size=meta.get("size", "n"),
         task=meta.get("task", "detect"),
         num_keypoints=meta.get("num_keypoints", 17),
+        num_masks=meta.get("num_masks", 32),
     )
     with open(path, "rb") as fh:
         variables = serialization.from_bytes(variables, fh.read())
@@ -128,19 +131,39 @@ def _module_pairs(
         branches.append(("cv4", "ang"))
     elif task == "pose":
         branches.append(("cv4", "kpt"))
+    elif task == "segment":
+        branches.append(("cv4", "mask"))
     for s in range(3):
         for tb, fb in branches:
             hp = f"model.{_HEAD_IDX}.{tb}.{s}"
             pairs.append((f"{hp}.0", (f"{fb}_conv1_{s}",), "convbn"))
             pairs.append((f"{hp}.1", (f"{fb}_conv2_{s}",), "convbn"))
             pairs.append((f"{hp}.2", (f"{fb}_out_{s}",), "conv"))
+    if task == "segment":
+        pp = f"model.{_HEAD_IDX}.proto"
+        pairs.append((f"{pp}.cv1", ("proto", "ConvBnSilu_0"), "convbn"))
+        pairs.append((f"{pp}.upsample", ("proto", "up"), "convT"))
+        pairs.append((f"{pp}.cv2", ("proto", "ConvBnSilu_1"), "convbn"))
+        pairs.append((f"{pp}.cv3", ("proto", "ConvBnSilu_2"), "convbn"))
     return pairs
 
 
 def _tensor_entries(
     torch_prefix: str, flax_path: Tuple[str, ...], kind: str
-) -> List[Tuple[str, Tuple[str, ...], bool]]:
-    """(torch key, flax flat path, needs OIHW<->HWIO transpose) triples."""
+) -> List[Tuple[str, Tuple[str, ...], Any]]:
+    """(torch key, flax flat path, layout mode) triples; mode is False
+    (copy as-is), True (OIHW<->HWIO conv kernel), or 'convT'
+    (ConvTranspose2d IOHW <-> flax ConvTranspose HWIO + spatial flip —
+    flax's conv_transpose does NOT flip kernels, torch's computes the
+    conv gradient, which does; pinned numerically vs torch in
+    tests/test_yolo_segment.py)."""
+    if kind == "convT":
+        return [
+            (f"{torch_prefix}.weight",
+             ("params",) + flax_path + ("kernel",), "convT"),
+            (f"{torch_prefix}.bias",
+             ("params",) + flax_path + ("bias",), False),
+        ]
     if kind == "convbn":
         cb = flax_path + ("Conv_0", "kernel")
         bn = flax_path + ("BatchNorm_0",)
@@ -177,7 +200,10 @@ def map_ultralytics_state(
                 report["missing"] += 1
                 continue
             arr = np.asarray(state[tkey], np.float32)
-            if transpose:
+            if transpose == "convT":
+                # torch IOHW -> flax HWIO, spatially flipped
+                arr = np.flip(np.transpose(arr, (2, 3, 0, 1)), axis=(0, 1))
+            elif transpose:
                 arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
             if fkey not in flat or flat[fkey].shape != arr.shape:
                 report["mismatched"] += 1
@@ -201,7 +227,10 @@ def export_ultralytics_state(
     for tp, fp, kind in _module_pairs(variables, task):
         for tkey, fkey, transpose in _tensor_entries(tp, fp, kind):
             arr = np.asarray(flat[fkey])
-            if transpose:
+            if transpose == "convT":
+                # flax HWIO (flipped) -> torch IOHW
+                arr = np.transpose(np.flip(arr, axis=(0, 1)), (2, 3, 0, 1))
+            elif transpose:
                 arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
             out[tkey] = arr
     return out
@@ -262,10 +291,15 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
         else (cls_bias.shape[0] if cls_bias is not None else 80)
     )
     # the extra head branch identifies the task when nothing declared it:
-    # OBB's angle branch ends in 1 channel, pose's keypoint branch in 3*nk
+    # a Proto module means segment; OBB's angle branch ends in 1 channel;
+    # pose's keypoint branch in 3*nk (32-channel seg coefs would otherwise
+    # be mistaken for a pose branch, so the proto check comes first)
     cv4_bias = state.get(f"model.{_HEAD_IDX}.cv4.0.2.bias")
+    has_proto = f"model.{_HEAD_IDX}.proto.cv1.conv.weight" in state
     if not task:
-        if cv4_bias is None:
+        if has_proto:
+            task = "segment"
+        elif cv4_bias is None:
             task = "detect"
         elif cv4_bias.shape[0] == 1:
             task = "obb"
@@ -278,9 +312,16 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
         if task == "pose" and cv4_bias is not None
         else 17
     )
+    # seg checkpoints carry nm in the coefficient branch width (default 32)
+    num_masks = (
+        int(cv4_bias.shape[0])
+        if task == "segment" and cv4_bias is not None
+        else 32
+    )
 
     model, variables = create_model(
-        num_classes, size=size, task=task, num_keypoints=num_keypoints
+        num_classes, size=size, task=task, num_keypoints=num_keypoints,
+        num_masks=num_masks,
     )
     variables, report = map_ultralytics_state(state, variables, task)
     print(
@@ -308,5 +349,6 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
         "size": size,
         "names": names or [],
         "num_keypoints": num_keypoints,
+        "num_masks": num_masks,
     }
     return model, variables, meta

@@ -29,7 +29,7 @@ from ..handlers.gate_behind import GateBehindOBB
 from ..handlers.manipulator import ManipulatorOBB
 from ..handlers.slalom import SlalomOBB
 from ..handlers.torpedoes import TorpedoesOBB
-from ..models.yolo.data import MAP_FN, OBBData, PoseData, YOLOData
+from ..models.yolo.data import MAP_FN, OBBData, PoseData, SegmentData, YOLOData
 from ..models.yolo.predictor import YoloModel
 
 DEFAULT_WEIGHT = os.environ.get("CUAUV_YOLO_WEIGHT", "obb_v14.msgpack")
@@ -52,7 +52,7 @@ TUNERS = [
     tuners.DoubleTuner("manipulator_threshold", 0.4, 0, 1),
 ]
 
-DetectionData = Union[YOLOData, OBBData, PoseData]
+DetectionData = Union[YOLOData, OBBData, PoseData, SegmentData]
 
 # detector -> (class names it consumes, handler arg order)
 DETECTORS: Dict[str, List[str]] = {
