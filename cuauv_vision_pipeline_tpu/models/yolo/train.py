@@ -4,7 +4,8 @@ dry-run).
 The reference consumes externally-trained ultralytics weights and never
 trains in-repo; the rebuild owns its model, so it owns a trainer: a
 center-assigned detection loss (BCE classification over all anchors + DFL
-distribution loss + L1 box regression on assigned anchors) with optax AdamW,
+distribution loss + L1 box regression on assigned anchors; + a cropped,
+area-normalized prototype-mask BCE for the segment task) with optax AdamW,
 expressed as a pure jittable step so it shards over a device mesh with
 data-parallel batches and tensor-parallel conv channels (parallel/mesh.py).
 """
@@ -38,6 +39,61 @@ def create_train_state(
         TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32)),
         tx,
     )
+
+
+def segment_loss(
+    outputs: Dict[str, Any],
+    targets_xyxy: jnp.ndarray,  # [B, T, 4] padded gt boxes (model pixels)
+    targets_masks: jnp.ndarray,  # [B, T, Hp, Wp] binary gt instance masks
+    valid_t: jnp.ndarray,  # [B, T] True where the gt slot is real
+    image_size: int,
+) -> jnp.ndarray:
+    """Mask loss for the segment task (ultralytics v8SegmentationLoss's
+    single_mask_loss shape): for each gt, the mask predicted by its
+    center-assigned anchor's coefficients against the prototype bank —
+    BCE over the prototype grid, cropped to the gt box and normalized by
+    the box's area so small instances aren't drowned out. Averaged over
+    the three scales' assignments (each scale's assigned anchor must
+    learn coefficients for the gts it owns)."""
+    proto = outputs["proto"]  # [B, Hp, Wp, nm]
+    B, hp, wp, _ = proto.shape
+    centers_x = (targets_xyxy[..., 0] + targets_xyxy[..., 2]) / 2
+    centers_y = (targets_xyxy[..., 1] + targets_xyxy[..., 3]) / 2
+
+    # gt boxes on the prototype grid + crop window (match decode's
+    # compose_masks: >= left/top, < right/bottom, pixel indices)
+    sx = wp / float(image_size)
+    sy = hp / float(image_size)
+    x1 = targets_xyxy[..., 0] * sx  # [B, T]
+    y1 = targets_xyxy[..., 1] * sy
+    x2 = targets_xyxy[..., 2] * sx
+    y2 = targets_xyxy[..., 3] * sy
+    cols = jnp.arange(wp, dtype=jnp.float32)[None, None, None, :]
+    rows = jnp.arange(hp, dtype=jnp.float32)[None, None, :, None]
+    crop = (
+        (cols >= x1[..., None, None]) & (cols < x2[..., None, None])
+        & (rows >= y1[..., None, None]) & (rows < y2[..., None, None])
+    )  # [B, T, hp, wp]
+    area = jnp.maximum((x2 - x1) * (y2 - y1), 1.0)  # [B, T] proto pixels
+
+    total = 0.0
+    for i, stride in enumerate(STRIDES):
+        coef_map = outputs["mcoef"][i]  # [B, H, W, nm]
+        H, W = coef_map.shape[1], coef_map.shape[2]
+        gx = jnp.clip((centers_x / stride).astype(jnp.int32), 0, W - 1)
+        gy = jnp.clip((centers_y / stride).astype(jnp.int32), 0, H - 1)
+        flat_idx = gy * W + gx  # [B, T]
+        coefs = jnp.take_along_axis(
+            coef_map.reshape(B, H * W, -1),
+            flat_idx[..., None],
+            axis=1,
+        )  # [B, T, nm]
+        logits = jnp.einsum("btc,bhwc->bthw", coefs, proto)
+        bce = optax.sigmoid_binary_cross_entropy(logits, targets_masks)
+        per_gt = (bce * crop).sum(axis=(-2, -1)) / area  # [B, T]
+        denom = jnp.maximum(valid_t.sum(), 1)
+        total = total + (per_gt * valid_t).sum() / denom
+    return total / len(STRIDES)
 
 
 def detection_loss(
@@ -120,19 +176,30 @@ def detection_loss(
 
 
 def make_train_step(model: YOLO, tx: optax.GradientTransformation):
-    """Returns train_step(state, images_f32, targets_xyxy, targets_cls)."""
+    """Returns train_step(state, images_f32, targets_xyxy, targets_cls).
 
-    def loss_fn(params, batch_stats, images, t_xyxy, t_cls):
+    For a task='segment' model the step takes one extra trailing argument,
+    t_masks [B, T, Hp, Wp] (binary gt instance masks on the prototype
+    grid, Hp = image_size // 4), and adds segment_loss to the detection
+    terms — the box/cls/DFL branches train identically across tasks."""
+    is_segment = model.task == "segment"
+
+    def loss_fn(params, batch_stats, images, t_xyxy, t_cls, t_masks=None):
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, updates = model.apply(
             variables, images, train=True, mutable=["batch_stats"]
         )
         loss = detection_loss(outputs, t_xyxy, t_cls, model.num_classes, model.reg_max)
+        if is_segment:
+            image_size = images.shape[1]
+            loss = loss + segment_loss(
+                outputs, t_xyxy, t_masks, t_cls >= 0, image_size
+            )
         return loss, updates["batch_stats"]
 
-    def train_step(state: TrainState, images, t_xyxy, t_cls):
+    def train_step(state: TrainState, images, t_xyxy, t_cls, *extra):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, images, t_xyxy, t_cls
+            state.params, state.batch_stats, images, t_xyxy, t_cls, *extra
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
