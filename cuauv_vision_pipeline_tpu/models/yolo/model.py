@@ -122,6 +122,10 @@ class SPPF(nn.Module):
         )
 
 
+# ultralytics Classify head's fixed embedding width (not width-scaled)
+CLASSIFY_EMBED = 1280
+
+
 def _upsample2(x):
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
@@ -166,7 +170,7 @@ class YOLO(nn.Module):
 
     num_classes: int = 80
     size: str = "n"
-    task: str = "detect"  # detect | obb | pose | segment
+    task: str = "detect"  # detect | obb | pose | segment | classify
     reg_max: int = 16
     num_keypoints: int = 17
     num_masks: int = 32
@@ -191,6 +195,18 @@ class YOLO(nn.Module):
         p4 = C2f(ch(512), reps(6))(x, train)
         x = ConvBnSilu(ch(1024), 3, 2)(p4, train)  # P5/32
         x = C2f(ch(1024), reps(3))(x, train)
+
+        if self.task == "classify":
+            # yolov8-cls: the backbone ends at the P5 C2f (yaml index 8 —
+            # no SPPF, no neck); Classify head (ultralytics nn/modules/
+            # head.py Classify) = 1x1 conv to a fixed 1280-wide embedding,
+            # global average pool, linear classifier. Returns raw logits;
+            # callers softmax (predictor.py forward / train.py CE loss).
+            e = ConvBnSilu(CLASSIFY_EMBED, 1, name="classify_conv")(x, train)
+            e = jnp.mean(e, axis=(1, 2))
+            logits = nn.Dense(self.num_classes, name="classify_linear")(e)
+            return {"logits": logits}
+
         p5 = SPPF(ch(1024))(x, train)
 
         # ---- PAN neck ----

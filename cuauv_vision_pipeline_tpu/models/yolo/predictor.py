@@ -283,6 +283,8 @@ class YoloModel:
             outputs = jax.tree.map(
                 lambda o: o.astype(jnp.float32), outputs
             )
+            if self.task == "classify":
+                return {"probs": jax.nn.softmax(outputs["logits"][0])}
             return decode(
                 outputs,
                 self.image_size,
@@ -332,6 +334,8 @@ class YoloModel:
             else:
                 outputs = self.model.apply(variables, x[None])
             outputs = jax.tree.map(lambda o: o.astype(jnp.float32), outputs)
+            if self.task == "classify":
+                return {"probs": jax.nn.softmax(outputs["logits"][0])}
             return decode(
                 outputs,
                 self.image_size,
@@ -346,7 +350,24 @@ class YoloModel:
         self, decoded_np: Dict, orig_hw: Tuple[int, int]
     ) -> List[Dict]:
         """Host half: undo preprocess()'s letterbox (orig = (model_coord -
-        pad) / scale) and format ultralytics-style summary dicts."""
+        pad) / scale) and format ultralytics-style summary dicts. For the
+        classify task: top-5 {name, class, confidence} entries (ultralytics
+        classification Results.summary())."""
+        if self.task == "classify":
+            probs = np.asarray(decoded_np["probs"])
+            top = np.argsort(probs)[::-1][:5]
+            return [
+                {
+                    "name": (
+                        self.class_names[i]
+                        if i < len(self.class_names)
+                        else str(int(i))
+                    ),
+                    "class": int(i),
+                    "confidence": float(probs[i]),
+                }
+                for i in top
+            ]
         h, w = orig_hw
         scale, left, top, _, _ = letterbox_params(h, w, self.image_size)
         return summarize(
@@ -366,7 +387,8 @@ class YoloModel:
 
     def track(self, image: np.ndarray, verbose: bool = False) -> List[_Result]:
         summary = self.predict(image)
-        self._tracker.update(summary)
+        if self.task != "classify":  # whole-frame labels carry no boxes
+            self._tracker.update(summary)
         return [_Result(summary)]
 
     def __call__(self, image: np.ndarray) -> List[_Result]:

@@ -184,6 +184,32 @@ def make_train_step(model: YOLO, tx: optax.GradientTransformation):
     terms — the box/cls/DFL branches train identically across tasks."""
     is_segment = model.task == "segment"
 
+    if model.task == "classify":
+        # whole-frame labels: train_step(state, images, labels[B]) with a
+        # plain softmax cross-entropy — no anchors, boxes, or assignment
+        def cls_loss_fn(params, batch_stats, images, labels):
+            variables = {"params": params, "batch_stats": batch_stats}
+            outputs, updates = model.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                outputs["logits"], labels
+            ).mean()
+            return loss, updates["batch_stats"]
+
+        def classify_step(state: TrainState, images, labels):
+            (loss, new_stats), grads = jax.value_and_grad(
+                cls_loss_fn, has_aux=True
+            )(state.params, state.batch_stats, images, labels)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params, new_stats, opt_state, state.step + 1),
+                loss,
+            )
+
+        return classify_step
+
     def loss_fn(params, batch_stats, images, t_xyxy, t_cls, t_masks=None):
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, updates = model.apply(

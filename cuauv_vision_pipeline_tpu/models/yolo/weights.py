@@ -111,7 +111,12 @@ def _module_pairs(
     kind is 'convbn' (Conv+BN) or 'conv' (plain 1x1 head conv with bias)."""
     params = variables["params"]
     pairs: List[Tuple[str, Tuple[str, ...], str]] = []
-    for flax_name, idx in _BACKBONE_IDX.items():
+    backbone = _BACKBONE_IDX.items()
+    if task == "classify":
+        # yolov8-cls reuses backbone indices 0..8 verbatim, then its head
+        # (Classify) sits at yaml index 9 — no SPPF, no neck, no detect head
+        backbone = [(n, i) for n, i in _BACKBONE_IDX.items() if i <= 8]
+    for flax_name, idx in backbone:
         tp = f"model.{idx}"
         if flax_name.startswith("ConvBnSilu"):
             pairs.append((tp, (flax_name,), "convbn"))
@@ -125,6 +130,11 @@ def _module_pairs(
                 pairs.append((f"{tp}.m.{j}.cv1", base + ("ConvBnSilu_0",), "convbn"))
                 pairs.append((f"{tp}.m.{j}.cv2", base + ("ConvBnSilu_1",), "convbn"))
                 j += 1
+
+    if task == "classify":
+        pairs.append(("model.9.conv", ("classify_conv",), "convbn"))
+        pairs.append(("model.9.linear", ("classify_linear",), "dense"))
+        return pairs
 
     branches = [("cv2", "box"), ("cv3", "cls")]
     if task == "obb":
@@ -161,6 +171,14 @@ def _tensor_entries(
         return [
             (f"{torch_prefix}.weight",
              ("params",) + flax_path + ("kernel",), "convT"),
+            (f"{torch_prefix}.bias",
+             ("params",) + flax_path + ("bias",), False),
+        ]
+    if kind == "dense":
+        # torch Linear (out, in) <-> flax Dense kernel (in, out)
+        return [
+            (f"{torch_prefix}.weight",
+             ("params",) + flax_path + ("kernel",), "dense"),
             (f"{torch_prefix}.bias",
              ("params",) + flax_path + ("bias",), False),
         ]
@@ -203,6 +221,8 @@ def map_ultralytics_state(
             if transpose == "convT":
                 # torch IOHW -> flax HWIO, spatially flipped
                 arr = np.flip(np.transpose(arr, (2, 3, 0, 1)), axis=(0, 1))
+            elif transpose == "dense":
+                arr = arr.T  # torch Linear (out, in) -> flax Dense (in, out)
             elif transpose:
                 arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
             if fkey not in flat or flat[fkey].shape != arr.shape:
@@ -230,6 +250,8 @@ def export_ultralytics_state(
             if transpose == "convT":
                 # flax HWIO (flipped) -> torch IOHW
                 arr = np.transpose(np.flip(arr, axis=(0, 1)), (2, 3, 0, 1))
+            elif transpose == "dense":
+                arr = arr.T  # flax Dense (in, out) -> torch Linear (out, in)
             elif transpose:
                 arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
             out[tkey] = arr
@@ -296,8 +318,11 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
     # be mistaken for a pose branch, so the proto check comes first)
     cv4_bias = state.get(f"model.{_HEAD_IDX}.cv4.0.2.bias")
     has_proto = f"model.{_HEAD_IDX}.proto.cv1.conv.weight" in state
+    linear_bias = state.get("model.9.linear.bias")  # -cls head (yaml idx 9)
     if not task:
-        if has_proto:
+        if linear_bias is not None:
+            task = "classify"
+        elif has_proto:
             task = "segment"
         elif cv4_bias is None:
             task = "detect"
@@ -305,6 +330,8 @@ def _load_ultralytics(path: str) -> Tuple[YOLO, Dict, Dict]:
             task = "obb"
         else:
             task = "pose"
+    if task == "classify" and not names and linear_bias is not None:
+        num_classes = int(linear_bias.shape[0])  # no detect head to read
     # pose checkpoints carry their kpt_shape in the branch width — a custom
     # nk (e.g. 4-point AUV targets) must not shape-mismatch onto 17
     num_keypoints = (
