@@ -34,9 +34,13 @@ def render_scene(
     rng: np.random.Generator,
     size: int = 128,
     max_objects: int = 3,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_masks: bool = False,
+):
     """One scene: (img_u8_bgr [size,size,3], boxes_xyxy f32 [max_objects,4],
-    cls i32 [max_objects]); cls = -1 marks padding rows.
+    cls i32 [max_objects]); cls = -1 marks padding rows. with_masks=True
+    appends exact instance masks on the segment task's prototype grid
+    ([max_objects, size//4, size//4] f32 binary, block-mean >= 0.5 of the
+    rendered pixel mask) — labels stay exact by construction.
 
     Objects are warm-colored (high red/orange) on a cool background so the
     task is learnable by a small model in a few hundred steps; positions
@@ -52,6 +56,8 @@ def render_scene(
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     boxes = np.zeros((max_objects, 4), np.float32)
     cls = np.full((max_objects,), -1, np.int32)
+    hp = size // 4
+    masks = np.zeros((max_objects, hp, hp), np.float32) if with_masks else None
 
     n = int(rng.integers(1, max_objects + 1))
     placed = 0
@@ -82,9 +88,16 @@ def render_scene(
         img = np.where(mask[..., None], color * shade[..., None], img)
         boxes[placed] = box
         cls[placed] = c
+        if masks is not None:
+            masks[placed] = (
+                mask.astype(np.float32).reshape(hp, 4, hp, 4).mean((1, 3))
+                >= 0.5
+            )
         placed += 1
 
     img = np.clip(img, 0, 255).astype(np.uint8)
+    if masks is not None:
+        return img, boxes, cls, masks
     return img, boxes, cls
 
 
@@ -93,14 +106,18 @@ def make_batch(
     batch: int,
     size: int = 128,
     max_objects: int = 3,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_masks: bool = False,
+):
     """Stacked scenes shaped for train.make_train_step: images u8 BGR
     [B,S,S,3], targets_xyxy f32 [B,T,4] (model pixels), targets_cls i32
-    [B,T] with -1 padding."""
-    imgs, boxes, cls = zip(
-        *(render_scene(rng, size, max_objects) for _ in range(batch))
-    )
-    return np.stack(imgs), np.stack(boxes), np.stack(cls)
+    [B,T] with -1 padding; with_masks=True appends targets_masks f32
+    [B,T,S//4,S//4] (the segment step's trailing argument)."""
+    scenes = [
+        render_scene(rng, size, max_objects, with_masks=with_masks)
+        for _ in range(batch)
+    ]
+    stacked = tuple(np.stack(part) for part in zip(*scenes))
+    return stacked
 
 
 def match_detections(
@@ -109,11 +126,14 @@ def match_detections(
     gt_cls: np.ndarray,
     conf: float = 0.25,
     iou_min: float = 0.5,
-) -> Tuple[int, int, int]:
+    return_pairs: bool = False,
+):
     """Greedy-match one image's decode dict against its ground truth:
     (true_positives, n_gt, n_pred). A prediction matches an unclaimed gt
     of the same class with IoU >= iou_min; predictions are visited in
-    score order (the fixed-shape decode is already score-sorted)."""
+    score order (the fixed-shape decode is already score-sorted).
+    return_pairs=True appends the matched (pred_idx, gt_idx) list — used
+    by the segment eval to score mask IoU over matched detections."""
     xyxy = np.asarray(decoded["xyxy"], np.float32)
     score = np.asarray(decoded["score"], np.float32)
     dcls = np.asarray(decoded["cls"], np.int32)
@@ -121,6 +141,7 @@ def match_detections(
     keep = valid & (score >= conf)
     gt_idx = [i for i in range(len(gt_cls)) if gt_cls[i] >= 0]
     claimed = set()
+    pairs = []
     tp = 0
     for i in np.nonzero(keep)[0]:
         best, best_iou = None, iou_min
@@ -132,8 +153,20 @@ def match_detections(
                 best, best_iou = g, iou
         if best is not None:
             claimed.add(best)
+            pairs.append((int(i), best))
             tp += 1
+    if return_pairs:
+        return tp, len(gt_idx), int(keep.sum()), pairs
     return tp, len(gt_idx), int(keep.sum())
+
+
+def mask_iou(pred_mask: np.ndarray, gt_mask: np.ndarray, thresh: float = 0.5) -> float:
+    """IoU of a predicted mask (probabilities, cut at ``thresh``) against a
+    binary gt mask on the same grid — the segment task's quality metric."""
+    p = np.asarray(pred_mask) >= thresh
+    g = np.asarray(gt_mask) >= 0.5
+    union = (p | g).sum()
+    return float((p & g).sum() / union) if union else 1.0
 
 
 def to_model_input(images_u8_bgr: np.ndarray) -> np.ndarray:

@@ -31,15 +31,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate(model, variables, args, seed: int = 10_000):
-    """Recall/precision at IoU >= 0.5 over fresh held-out scenes."""
+    """Recall/precision at IoU >= 0.5 over fresh held-out scenes; for the
+    segment task additionally the mean prototype-grid mask IoU over
+    matched detections."""
     import jax
 
     from cuauv_vision_pipeline_tpu.models.yolo.decode import decode
     from cuauv_vision_pipeline_tpu.models.yolo.synth import (
         make_batch,
+        mask_iou,
         match_detections,
         to_model_input,
     )
+
+    seg = model.task == "segment"
 
     @jax.jit
     def infer(variables, x):
@@ -55,16 +60,26 @@ def evaluate(model, variables, args, seed: int = 10_000):
 
     rng = np.random.default_rng(seed)
     tp = n_gt = n_pred = 0
+    mious = []
     for _ in range(args.eval_scenes // 8):
-        imgs, boxes, cls = make_batch(rng, 8, args.image_size)
+        batch = make_batch(rng, 8, args.image_size, with_masks=seg)
+        imgs, boxes, cls = batch[:3]
         decoded = jax.tree.map(np.asarray, infer(variables, to_model_input(imgs)))
         for b in range(len(imgs)):
             one = jax.tree.map(lambda v: v[b], decoded)
-            t, g, p = match_detections(one, boxes[b], cls[b], conf=args.conf)
+            t, g, p, pairs = match_detections(
+                one, boxes[b], cls[b], conf=args.conf, return_pairs=True
+            )
             tp, n_gt, n_pred = tp + t, n_gt + g, n_pred + p
+            if seg:
+                gt_masks = batch[3][b]
+                mious.extend(
+                    mask_iou(one["mask"][pi], gt_masks[gi]) for pi, gi in pairs
+                )
     recall = tp / max(n_gt, 1)
     precision = tp / max(n_pred, 1)
-    return recall, precision, n_gt
+    miou = float(np.mean(mious)) if mious else 0.0
+    return recall, precision, n_gt, miou
 
 
 def main() -> int:
@@ -78,6 +93,11 @@ def main() -> int:
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--eval-scenes", type=int, default=64)
     ap.add_argument("--out", default="/tmp/synth_yolo.msgpack")
+    ap.add_argument(
+        "--task", default="detect", choices=("detect", "segment"),
+        help="segment adds the prototype-mask BCE term and trains on the "
+        "generator's exact instance masks",
+    )
     ap.add_argument(
         "--dp", type=int, default=1,
         help="data-parallel device count (--batch must divide by it); "
@@ -114,12 +134,14 @@ def main() -> int:
     model, variables = create_model(
         len(CLASS_NAMES),
         size=args.model_size,
-        task="detect",
+        task=args.task,
         image_size=args.image_size,
         seed=args.seed,
     )
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
-    print(f"[train] {args.model_size}-size detect model: {n_params:,} params")
+    print(
+        f"[train] {args.model_size}-size {args.task} model: {n_params:,} params"
+    )
 
     state, tx = create_train_state(model, variables, learning_rate=args.lr)
     step = jax.jit(make_train_step(model, tx))
@@ -156,11 +178,16 @@ def main() -> int:
         print(f"[train] mesh: dp={args.dp} tp={args.tp} "
               f"({args.dp * args.tp} devices)")
 
+    seg = args.task == "segment"
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     for i in range(args.steps):
-        imgs, boxes, cls = make_batch(rng, args.batch, args.image_size)
-        state, loss = step(state, put(to_model_input(imgs)), put(boxes), put(cls))
+        batch = make_batch(rng, args.batch, args.image_size, with_masks=seg)
+        imgs, boxes, cls = batch[:3]
+        extra = (put(batch[3]),) if seg else ()
+        state, loss = step(
+            state, put(to_model_input(imgs)), put(boxes), put(cls), *extra
+        )
         if i % 50 == 0 or i == args.steps - 1:
             print(
                 f"[train] step {i:5d}  loss {float(loss):8.4f}  "
@@ -169,9 +196,10 @@ def main() -> int:
             )
 
     trained = {"params": state.params, "batch_stats": state.batch_stats}
-    recall, precision, n_gt = evaluate(model, trained, args)
+    recall, precision, n_gt, miou = evaluate(model, trained, args)
+    seg_note = f"  mask-IoU {miou:.3f}" if seg else ""
     print(
-        f"[eval] recall {recall:.3f}  precision {precision:.3f}  "
+        f"[eval] recall {recall:.3f}  precision {precision:.3f}{seg_note}  "
         f"({n_gt} gt objects, IoU>=0.5, conf>={args.conf})"
     )
 
