@@ -226,3 +226,29 @@ def test_segment_train_step_learns_masks():
     assert np.isfinite(losses).all()
     assert after < before, (before, after)
     assert losses[-1] < losses[0]
+
+
+def test_segment_multicam_batched_matches_single():
+    """device_decode_multi (N cameras, one batched MXU dispatch) carries
+    the mask leaves with a leading camera axis and agrees with the
+    single-camera path on identical input."""
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+
+    m = YoloModel(
+        None, task="segment", class_names=["a", "b"], size="p",
+        image_size=SIZE, conf_thresh=0.0, max_det=4, half_precision=False,
+    )
+    rng = np.random.default_rng(3)
+    cam0 = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+    cam1 = rng.integers(0, 255, (SIZE // 2, SIZE, 3), np.uint8)  # letterboxed
+    multi = jax.tree.map(
+        np.asarray, m.device_decode_multi([jnp.asarray(cam0), jnp.asarray(cam1)])
+    )
+    assert multi["mask"].shape == (2, 4, SIZE // 4, SIZE // 4)
+    single = jax.tree.map(np.asarray, m.device_decode(jnp.asarray(cam0)))
+    np.testing.assert_allclose(
+        multi["mask"][0], single["mask"], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        multi["xyxy"][0], single["xyxy"], rtol=2e-4, atol=2e-3
+    )

@@ -113,3 +113,64 @@ def test_quantization_accuracy_budget():
         assert precision >= precision0 - 0.1, (
             f"{mode}: precision {precision:.3f} vs {precision0:.3f}"
         )
+
+
+SEG_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "synth_pico_segment.msgpack"
+)
+
+
+def _seg_fixture_model(**kw):
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+
+    assert os.path.exists(SEG_FIXTURE), (
+        "run examples/train_synthetic.py --task segment"
+    )
+    return YoloModel(SEG_FIXTURE, image_size=128, max_det=8, conf_thresh=0.25, **kw)
+
+
+def _seg_score(model, n_scenes=16, seed=77):
+    from cuauv_vision_pipeline_tpu.models.yolo.synth import mask_iou
+
+    rng = np.random.default_rng(seed)
+    tp = n_gt = n_pred = 0
+    mious = []
+    for _ in range(n_scenes):
+        img, boxes, cls, masks = render_scene(
+            rng, size=128, max_objects=3, with_masks=True
+        )
+        decoded = {k: np.asarray(v) for k, v in model.device_decode(img).items()}
+        t, g, p, pairs = match_detections(decoded, boxes, cls, return_pairs=True)
+        tp, n_gt, n_pred = tp + t, n_gt + g, n_pred + p
+        mious.extend(mask_iou(decoded["mask"][pi], masks[gi]) for pi, gi in pairs)
+    miou = float(np.mean(mious)) if mious else 0.0
+    return tp / max(n_gt, 1), tp / max(n_pred, 1), miou
+
+
+@pytest.mark.slow
+def test_trained_segment_fixture():
+    """The shipped segment checkpoint detects AND masks: boxes match gt
+    and the composed prototype masks overlap the exact gt masks (trained
+    to 0.857 mask-IoU at export; margins absorb bf16 serving + the small
+    eval set)."""
+    model = _seg_fixture_model()
+    assert model.task == "segment"
+    recall, precision, miou = _seg_score(model)
+    assert recall >= 0.7, f"recall {recall:.3f}"
+    assert precision >= 0.55, f"precision {precision:.3f}"
+    assert miou >= 0.7, f"mask IoU {miou:.3f}"
+
+
+@pytest.mark.slow
+def test_segment_quantization_budget():
+    """Quantized serving budget for the segment task — box recall AND mask
+    IoU within 0.12 / 0.1 of the bf16 baseline on the trained fixture (the
+    mask path adds the Proto ConvTranspose, which w8a8 deliberately leaves
+    bf16: only nn.Conv is intercepted)."""
+    base = _seg_fixture_model()
+    recall0, _, miou0 = _seg_score(base)
+    for mode in ("int8", "w8a8"):
+        q = _seg_fixture_model(quantize=mode)
+        recall, _, miou = _seg_score(q)
+        assert recall >= recall0 - 0.12, f"{mode}: recall {recall:.3f} vs {recall0:.3f}"
+        assert miou >= miou0 - 0.1, f"{mode}: mask IoU {miou:.3f} vs {miou0:.3f}"
