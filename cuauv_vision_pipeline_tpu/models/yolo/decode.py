@@ -260,6 +260,7 @@ def decode(
     conf_thresh: float = 0.25,
     iou_thresh: float = 0.45,
     max_det: int = 32,
+    nms_pool: int = 512,
 ) -> Dict[str, jnp.ndarray]:
     """Decode one image's raw head outputs into fixed-size detections.
 
@@ -269,20 +270,39 @@ def decode(
     input pixels (callers rescale to the original frame); axis-aligned
     boxes are clipped to [0, image_size] after NMS (ultralytics
     clip_boxes), rotated ones are not.
+
+    ``nms_pool``: the greedy NMS loop (max_det sequential argmax+suppress
+    passes) runs over only the top-``nms_pool`` candidates by score
+    instead of all ~S²/48 anchors — a single fused ``lax.top_k`` shrinks
+    every loop iteration's vectors ~16x at 640². EXACT whenever the
+    number of above-``conf_thresh`` candidates is <= nms_pool (zeroed
+    scores are never selected, so any candidate that could ever be picked
+    is in the pool); with more candidates than the pool, picks beyond it
+    are dropped — the same contract as ultralytics' max_nms pre-filter.
+    Pass nms_pool >= anchor count to disable.
     """
     flat = _flatten_scales(outputs, image_size)
     cls = flat["cls"][0]  # [N, C]
     boxes_xyxy, angle = decode_boxes(flat, reg_max)
 
-    probs = jax.nn.sigmoid(cls)
-    scores = jnp.max(probs, axis=-1)
-    classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    # sigmoid is monotonic: max/argmax over logits == over probabilities,
+    # so only the [N] winning logits pass through sigmoid (not [N, C])
+    scores = jax.nn.sigmoid(jnp.max(cls, axis=-1))
+    classes = jnp.argmax(cls, axis=-1).astype(jnp.int32)
     scores = jnp.where(scores >= conf_thresh, scores, 0.0)
+
+    pool = min(nms_pool, scores.shape[0])
+    scores, top_idx = jax.lax.top_k(scores, pool)
+    boxes_xyxy = boxes_xyxy[top_idx]
+    classes = classes[top_idx]
+    if angle is not None:
+        angle = angle[top_idx]
 
     picked, valid = nms_fixed(
         boxes_xyxy, scores, classes, iou_thresh, max_det, angles=angle
     )
     safe = jnp.maximum(picked, 0)
+    orig = top_idx[safe]  # anchor-set indices for the per-anchor extras
 
     out = {
         "xyxy": boxes_xyxy[safe],
@@ -298,17 +318,20 @@ def decode(
     if angle is not None:
         out["angle"] = angle[safe]
     if "kpts" in flat:
-        k = flat["kpts"][0]
+        # gather the max_det winners FIRST (via their anchor-set indices),
+        # then decode only those keypoints — the pre-pool version decoded
+        # all N anchors' keypoints to use 32 of them
+        k = flat["kpts"][0][orig]  # [max_det, 3*nk]
         nk = k.shape[-1] // 3
         k = k.reshape(-1, nk, 3)
-        centers = flat["centers"]  # [N, 2] anchor centers, model pixels
-        strides = flat["strides"]  # [N]
+        centers = flat["centers"][orig]  # [max_det, 2] model pixels
+        strides = flat["strides"][orig]  # [max_det]
         kx = (k[..., 0] * 2.0) * strides[:, None] + (centers[:, 0:1] - 0.5 * strides[:, None])
         ky = (k[..., 1] * 2.0) * strides[:, None] + (centers[:, 1:2] - 0.5 * strides[:, None])
         kv = jax.nn.sigmoid(k[..., 2])
-        out["kpts"] = jnp.stack([kx, ky, kv], axis=-1)[safe]
+        out["kpts"] = jnp.stack([kx, ky, kv], axis=-1)
     if "mcoef" in flat and "proto" in outputs:
-        coefs = flat["mcoef"][0][safe]  # [max_det, nm]
+        coefs = flat["mcoef"][0][orig]  # [max_det, nm]
         masks = compose_masks(
             outputs["proto"][0], coefs, out["xyxy"], image_size
         )
