@@ -62,7 +62,9 @@ _BACKBONE_IDX = {
 }
 
 _HEAD_IDX = 22
-_WIDTH_TO_SIZE = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}
+# 8 = the in-repo "p" (pico) width, so our own exported .pt round-trips;
+# 16..80 are the published ultralytics v8 stem widths
+_WIDTH_TO_SIZE = {8: "p", 16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}
 
 
 def save_checkpoint(path: str, model: YOLO, variables: Dict, extra: Dict) -> None:

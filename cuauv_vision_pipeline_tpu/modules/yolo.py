@@ -94,6 +94,13 @@ class Yolo(ModuleBase, HandlerMixin):
         self.model = YoloModel(self.weight_path, task="obb")
         self.model.to("tpu")  # parity shim; jax owns placement
         self.yolo_model_type = self.model.task
+        if self.yolo_model_type not in MAP_FN:
+            raise ValueError(
+                f"weight '{self.weight_path}' is a '{self.yolo_model_type}' "
+                f"model; the detection modules consume box-producing tasks "
+                f"({sorted(MAP_FN)}). Whole-frame classifiers serve via "
+                f"YoloModel.predict instead."
+            )
         self.map_fn: Callable[[dict], DetectionData] = MAP_FN[self.yolo_model_type]
 
         print("YOLO MODEL INITIALIZED:")
