@@ -160,6 +160,140 @@ def match_detections(
     return tp, len(gt_idx), int(keep.sum())
 
 
+OBB_CLASS_NAMES = ("slab",)
+POSE_CLASS_NAMES = ("disc",)
+POSE_NUM_KEYPOINTS = 5  # center + N/E/S/W rim points
+
+
+def render_obb_scene(
+    rng: np.random.Generator,
+    size: int = 128,
+    max_objects: int = 2,
+):
+    """Rotated-slab scene for the obb task: (img_u8_bgr, extents_xyxy f32
+    [T, 4], cls i32 [T], angle f32 [T]). extents_xyxy encodes center +-
+    (w/2, h/2) of the UNrotated rectangle — the decomposition dist2rbox
+    decodes (decode.decode_boxes) and train.detection_loss regresses;
+    angle lives inside the decodable (-pi/4, 3pi/4) range. Labels exact
+    by construction."""
+    top = rng.uniform(20, 70, 3)
+    bot = rng.uniform(20, 70, 3)
+    t = np.linspace(0.0, 1.0, size, dtype=np.float32)[:, None, None]
+    img = top * (1 - t) + bot * t + rng.normal(0.0, 6.0, (size, size, 3))
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    boxes = np.zeros((max_objects, 4), np.float32)
+    cls = np.full((max_objects,), -1, np.int32)
+    angles = np.zeros((max_objects,), np.float32)
+
+    n = int(rng.integers(1, max_objects + 1))
+    placed = 0
+    for _ in range(12 * n):
+        if placed == n:
+            break
+        w = float(rng.uniform(size * 0.18, size * 0.42))
+        h = float(rng.uniform(size * 0.08, w * 0.7))  # elongated: a square
+        # slab's angle would be unidentifiable modulo pi/2
+        theta = float(rng.uniform(-np.pi / 4 + 0.08, 3 * np.pi / 4 - 0.08))
+        half_diag = 0.5 * np.hypot(w, h)
+        cx = float(rng.uniform(half_diag + 2, size - half_diag - 2))
+        cy = float(rng.uniform(half_diag + 2, size - half_diag - 2))
+        box = np.array(
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], np.float32
+        )
+        if any(_iou(box, boxes[i]) > 0.1 for i in range(placed)):
+            continue
+        # inside test in the rectangle's rotated frame
+        ux, uy = np.cos(theta), np.sin(theta)
+        dx, dy = xx - cx, yy - cy
+        mask = (np.abs(dx * ux + dy * uy) <= w / 2) & (
+            np.abs(-dx * uy + dy * ux) <= h / 2
+        )
+        color = np.array(
+            [rng.uniform(0, 60), rng.uniform(40, 140), rng.uniform(170, 255)]
+        )
+        img = np.where(mask[..., None], color, img)
+        boxes[placed] = box
+        cls[placed] = 0
+        angles[placed] = theta
+        placed += 1
+
+    return np.clip(img, 0, 255).astype(np.uint8), boxes, cls, angles
+
+
+def render_pose_scene(
+    rng: np.random.Generator,
+    size: int = 128,
+    max_objects: int = 2,
+):
+    """Disc-with-keypoints scene for the pose task: (img_u8_bgr, boxes_xyxy
+    f32 [T, 4], cls i32 [T], kpts f32 [T, 5, 3]) — keypoints are the disc
+    center and its N/E/S/W rim points (all visibility 1), exact by
+    construction. The rim is drawn brighter than the body so the
+    keypoints are visually recoverable, not just statistically."""
+    top = rng.uniform(20, 70, 3)
+    bot = rng.uniform(20, 70, 3)
+    t = np.linspace(0.0, 1.0, size, dtype=np.float32)[:, None, None]
+    img = top * (1 - t) + bot * t + rng.normal(0.0, 6.0, (size, size, 3))
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    boxes = np.zeros((max_objects, 4), np.float32)
+    cls = np.full((max_objects,), -1, np.int32)
+    kpts = np.zeros((max_objects, POSE_NUM_KEYPOINTS, 3), np.float32)
+
+    n = int(rng.integers(1, max_objects + 1))
+    placed = 0
+    for _ in range(12 * n):
+        if placed == n:
+            break
+        r = float(rng.uniform(size * 0.1, size * 0.2))
+        cx = float(rng.uniform(r + 2, size - r - 2))
+        cy = float(rng.uniform(r + 2, size - r - 2))
+        box = np.array([cx - r, cy - r, cx + r, cy + r], np.float32)
+        if any(_iou(box, boxes[i]) > 0.1 for i in range(placed)):
+            continue
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        body = d2 <= r * r
+        rim = (d2 <= r * r) & (d2 >= (0.8 * r) ** 2)
+        color = np.array(
+            [rng.uniform(0, 60), rng.uniform(40, 140), rng.uniform(170, 255)]
+        )
+        img = np.where(body[..., None], color * 0.7, img)
+        img = np.where(rim[..., None], color * 1.25, img)
+        boxes[placed] = box
+        cls[placed] = 0
+        kpts[placed] = [
+            (cx, cy, 1.0),
+            (cx, cy - r, 1.0),
+            (cx + r, cy, 1.0),
+            (cx, cy + r, 1.0),
+            (cx - r, cy, 1.0),
+        ]
+        placed += 1
+
+    return np.clip(img, 0, 255).astype(np.uint8), boxes, cls, kpts
+
+
+def make_task_batch(
+    rng: np.random.Generator,
+    batch: int,
+    size: int = 128,
+    task: str = "detect",
+    max_objects: int = 3,
+):
+    """Stacked scenes + the task's extra target (None / masks / angles /
+    kpts), shaped for train.make_train_step's trailing argument."""
+    if task == "segment":
+        return make_batch(rng, batch, size, max_objects, with_masks=True)
+    if task == "obb":
+        scenes = [render_obb_scene(rng, size, 2) for _ in range(batch)]
+    elif task == "pose":
+        scenes = [render_pose_scene(rng, size, 2) for _ in range(batch)]
+    else:
+        return make_batch(rng, batch, size, max_objects)
+    return tuple(np.stack(part) for part in zip(*scenes))
+
+
 def mask_iou(pred_mask: np.ndarray, gt_mask: np.ndarray, thresh: float = 0.5) -> float:
     """IoU of a predicted mask (probabilities, cut at ``thresh``) against a
     binary gt mask on the same grid — the segment task's quality metric."""

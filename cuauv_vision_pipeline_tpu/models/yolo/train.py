@@ -96,6 +96,100 @@ def segment_loss(
     return total / len(STRIDES)
 
 
+def _gather_assigned(
+    feature_map: jnp.ndarray,  # [B, H, W, C] one scale's head output
+    targets_xyxy: jnp.ndarray,  # [B, T, 4]
+    stride: int,
+) -> jnp.ndarray:
+    """Each gt's center-assigned anchor's feature row: [B, T, C]."""
+    B = feature_map.shape[0]
+    H, W = feature_map.shape[1], feature_map.shape[2]
+    cx = (targets_xyxy[..., 0] + targets_xyxy[..., 2]) / 2
+    cy = (targets_xyxy[..., 1] + targets_xyxy[..., 3]) / 2
+    gx = jnp.clip((cx / stride).astype(jnp.int32), 0, W - 1)
+    gy = jnp.clip((cy / stride).astype(jnp.int32), 0, H - 1)
+    flat_idx = gy * W + gx  # [B, T]
+    flat = feature_map.reshape(B, H * W, -1)
+    return jnp.take_along_axis(flat, flat_idx[..., None], axis=1)
+
+
+def obb_angle_loss(
+    outputs: Dict[str, Any],
+    targets_xyxy: jnp.ndarray,  # [B, T, 4] center +- extents/2 (UNrotated)
+    targets_angle: jnp.ndarray,  # [B, T] radians in (-pi/4, 3pi/4)
+    valid_t: jnp.ndarray,  # [B, T]
+) -> jnp.ndarray:
+    """L1 on the decoded angle — (sigmoid - 0.25) * pi, the dist2rbox
+    parameterization decode.py uses — at each gt's center-assigned anchor,
+    averaged over scales. Targets must live in the decodable range
+    (synth.render_obb_scene generates them there); the box/cls/DFL terms
+    come from detection_loss on the unrotated extents, whose center and
+    w/h match dist2rbox's lt+rb decomposition."""
+    denom = jnp.maximum(valid_t.sum(), 1)
+    total = 0.0
+    for i, stride in enumerate(STRIDES):
+        logits = _gather_assigned(outputs["angle"][i], targets_xyxy, stride)
+        pred = (jax.nn.sigmoid(logits[..., 0]) - 0.25) * jnp.pi  # [B, T]
+        err = jnp.abs(pred - targets_angle)
+        total = total + (err * valid_t).sum() / denom
+    return total / len(STRIDES)
+
+
+def pose_kpt_loss(
+    outputs: Dict[str, Any],
+    targets_xyxy: jnp.ndarray,  # [B, T, 4]
+    targets_kpts: jnp.ndarray,  # [B, T, nk, 3] (x, y, visibility) model px
+    valid_t: jnp.ndarray,  # [B, T]
+) -> jnp.ndarray:
+    """Keypoint regression + visibility for the pose task: per gt, the
+    center-assigned anchor's keypoints decode exactly as decode.py does
+    ((k * 2) * stride + anchor - stride/2); visible keypoints pay an L1
+    on position normalized by the gt box diagonal (small instances count
+    like large ones, the role of ultralytics' area term), and every
+    keypoint pays a visibility BCE."""
+    denom = jnp.maximum(valid_t.sum(), 1)
+    diag = jnp.sqrt(
+        jnp.maximum(
+            (targets_xyxy[..., 2] - targets_xyxy[..., 0]) ** 2
+            + (targets_xyxy[..., 3] - targets_xyxy[..., 1]) ** 2,
+            1.0,
+        )
+    )  # [B, T]
+    gx = targets_kpts[..., 0]
+    gy = targets_kpts[..., 1]
+    gv = targets_kpts[..., 2]
+    cx = (targets_xyxy[..., 0] + targets_xyxy[..., 2]) / 2
+    cy = (targets_xyxy[..., 1] + targets_xyxy[..., 3]) / 2
+
+    total = 0.0
+    for i, stride in enumerate(STRIDES):
+        H = outputs["kpts"][i].shape[1]
+        W = outputs["kpts"][i].shape[2]
+        k = _gather_assigned(outputs["kpts"][i], targets_xyxy, stride)
+        nk = k.shape[-1] // 3
+        k = k.reshape(k.shape[0], k.shape[1], nk, 3)  # [B, T, nk, 3]
+        # the assigned anchor's center (same clipped cell as the gather)
+        ax = (
+            jnp.clip((cx / stride).astype(jnp.int32), 0, W - 1).astype(
+                jnp.float32
+            )
+            + 0.5
+        ) * stride
+        ay = (
+            jnp.clip((cy / stride).astype(jnp.int32), 0, H - 1).astype(
+                jnp.float32
+            )
+            + 0.5
+        ) * stride
+        kx = (k[..., 0] * 2.0) * stride + (ax[..., None] - 0.5 * stride)
+        ky = (k[..., 1] * 2.0) * stride + (ay[..., None] - 0.5 * stride)
+        pos_l1 = (jnp.abs(kx - gx) + jnp.abs(ky - gy)) / diag[..., None]
+        pos = (pos_l1 * gv).mean(-1)  # [B, T] visible-weighted
+        vis = optax.sigmoid_binary_cross_entropy(k[..., 2], gv).mean(-1)
+        total = total + ((pos + vis) * valid_t).sum() / denom
+    return total / len(STRIDES)
+
+
 def detection_loss(
     outputs: Dict[str, list],
     targets_xyxy: jnp.ndarray,  # [B, T, 4] padded gt boxes (model pixels)
@@ -178,11 +272,20 @@ def detection_loss(
 def make_train_step(model: YOLO, tx: optax.GradientTransformation):
     """Returns train_step(state, images_f32, targets_xyxy, targets_cls).
 
-    For a task='segment' model the step takes one extra trailing argument,
-    t_masks [B, T, Hp, Wp] (binary gt instance masks on the prototype
-    grid, Hp = image_size // 4), and adds segment_loss to the detection
-    terms — the box/cls/DFL branches train identically across tasks."""
+    Per task, the step takes one extra trailing argument after
+    (images, t_xyxy, t_cls) and adds that branch's loss to the shared
+    box/cls/DFL terms:
+
+    * segment — t_masks [B, T, Hp, Wp] (binary gt instance masks on the
+      prototype grid, Hp = image_size // 4) -> segment_loss
+    * obb — t_angle [B, T] radians in (-pi/4, 3pi/4); t_xyxy carries the
+      UNrotated extents (center +- w/2, h/2) -> obb_angle_loss
+    * pose — t_kpts [B, T, nk, 3] (x, y, visibility) -> pose_kpt_loss
+    * classify — a dedicated step (images, labels) with softmax CE
+    """
     is_segment = model.task == "segment"
+    is_obb = model.task == "obb"
+    is_pose = model.task == "pose"
 
     if model.task == "classify":
         # whole-frame labels: train_step(state, images, labels[B]) with a
@@ -210,17 +313,20 @@ def make_train_step(model: YOLO, tx: optax.GradientTransformation):
 
         return classify_step
 
-    def loss_fn(params, batch_stats, images, t_xyxy, t_cls, t_masks=None):
+    def loss_fn(params, batch_stats, images, t_xyxy, t_cls, t_extra=None):
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, updates = model.apply(
             variables, images, train=True, mutable=["batch_stats"]
         )
         loss = detection_loss(outputs, t_xyxy, t_cls, model.num_classes, model.reg_max)
+        valid_t = t_cls >= 0
         if is_segment:
             image_size = images.shape[1]
-            loss = loss + segment_loss(
-                outputs, t_xyxy, t_masks, t_cls >= 0, image_size
-            )
+            loss = loss + segment_loss(outputs, t_xyxy, t_extra, valid_t, image_size)
+        if is_obb:
+            loss = loss + obb_angle_loss(outputs, t_xyxy, t_extra, valid_t)
+        if is_pose:
+            loss = loss + pose_kpt_loss(outputs, t_xyxy, t_extra, valid_t)
         return loss, updates["batch_stats"]
 
     def train_step(state: TrainState, images, t_xyxy, t_cls, *extra):

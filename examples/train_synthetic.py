@@ -31,20 +31,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate(model, variables, args, seed: int = 10_000):
-    """Recall/precision at IoU >= 0.5 over fresh held-out scenes; for the
-    segment task additionally the mean prototype-grid mask IoU over
-    matched detections."""
+    """Recall/precision at IoU >= 0.5 over fresh held-out scenes, plus the
+    task-specific quality term over MATCHED detections: segment -> mean
+    prototype-grid mask IoU; obb -> mean absolute angle error (degrees);
+    pose -> mean keypoint distance (pixels)."""
     import jax
 
     from cuauv_vision_pipeline_tpu.models.yolo.decode import decode
     from cuauv_vision_pipeline_tpu.models.yolo.synth import (
-        make_batch,
+        make_task_batch,
         mask_iou,
         match_detections,
         to_model_input,
     )
 
-    seg = model.task == "segment"
+    task = model.task
 
     @jax.jit
     def infer(variables, x):
@@ -60,9 +61,9 @@ def evaluate(model, variables, args, seed: int = 10_000):
 
     rng = np.random.default_rng(seed)
     tp = n_gt = n_pred = 0
-    mious = []
+    quality = []
     for _ in range(args.eval_scenes // 8):
-        batch = make_batch(rng, 8, args.image_size, with_masks=seg)
+        batch = make_task_batch(rng, 8, args.image_size, task=task)
         imgs, boxes, cls = batch[:3]
         decoded = jax.tree.map(np.asarray, infer(variables, to_model_input(imgs)))
         for b in range(len(imgs)):
@@ -71,15 +72,28 @@ def evaluate(model, variables, args, seed: int = 10_000):
                 one, boxes[b], cls[b], conf=args.conf, return_pairs=True
             )
             tp, n_gt, n_pred = tp + t, n_gt + g, n_pred + p
-            if seg:
-                gt_masks = batch[3][b]
-                mious.extend(
-                    mask_iou(one["mask"][pi], gt_masks[gi]) for pi, gi in pairs
-                )
+            for pi, gi in pairs:
+                if task == "segment":
+                    quality.append(mask_iou(one["mask"][pi], batch[3][b][gi]))
+                elif task == "obb":
+                    err = abs(float(one["angle"][pi]) - float(batch[3][b][gi]))
+                    quality.append(np.degrees(err))
+                elif task == "pose":
+                    gk = batch[3][b][gi]
+                    pk = one["kpts"][pi]
+                    quality.append(
+                        float(
+                            np.mean(
+                                np.hypot(
+                                    pk[:, 0] - gk[:, 0], pk[:, 1] - gk[:, 1]
+                                )
+                            )
+                        )
+                    )
     recall = tp / max(n_gt, 1)
     precision = tp / max(n_pred, 1)
-    miou = float(np.mean(mious)) if mious else 0.0
-    return recall, precision, n_gt, miou
+    q = float(np.mean(quality)) if quality else float("nan")
+    return recall, precision, n_gt, q
 
 
 def main() -> int:
@@ -94,9 +108,12 @@ def main() -> int:
     ap.add_argument("--eval-scenes", type=int, default=64)
     ap.add_argument("--out", default="/tmp/synth_yolo.msgpack")
     ap.add_argument(
-        "--task", default="detect", choices=("detect", "segment"),
-        help="segment adds the prototype-mask BCE term and trains on the "
-        "generator's exact instance masks",
+        "--task", default="detect",
+        choices=("detect", "segment", "obb", "pose"),
+        help="the task branch to train: segment adds the prototype-mask "
+        "BCE (exact instance masks), obb the angle L1 (rotated slabs), "
+        "pose the keypoint L1+visibility BCE (disc rim points) — all on "
+        "the generator's exact labels",
     )
     ap.add_argument(
         "--dp", type=int, default=1,
@@ -122,7 +139,10 @@ def main() -> int:
     from cuauv_vision_pipeline_tpu.models.yolo.model import create_model
     from cuauv_vision_pipeline_tpu.models.yolo.synth import (
         CLASS_NAMES,
-        make_batch,
+        OBB_CLASS_NAMES,
+        POSE_CLASS_NAMES,
+        POSE_NUM_KEYPOINTS,
+        make_task_batch,
         to_model_input,
     )
     from cuauv_vision_pipeline_tpu.models.yolo.train import (
@@ -131,12 +151,16 @@ def main() -> int:
     )
     from cuauv_vision_pipeline_tpu.models.yolo.weights import save_checkpoint
 
+    names = {
+        "obb": OBB_CLASS_NAMES, "pose": POSE_CLASS_NAMES,
+    }.get(args.task, CLASS_NAMES)
     model, variables = create_model(
-        len(CLASS_NAMES),
+        len(names),
         size=args.model_size,
         task=args.task,
         image_size=args.image_size,
         seed=args.seed,
+        num_keypoints=POSE_NUM_KEYPOINTS,
     )
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     print(
@@ -178,13 +202,12 @@ def main() -> int:
         print(f"[train] mesh: dp={args.dp} tp={args.tp} "
               f"({args.dp * args.tp} devices)")
 
-    seg = args.task == "segment"
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     for i in range(args.steps):
-        batch = make_batch(rng, args.batch, args.image_size, with_masks=seg)
+        batch = make_task_batch(rng, args.batch, args.image_size, task=args.task)
         imgs, boxes, cls = batch[:3]
-        extra = (put(batch[3]),) if seg else ()
+        extra = tuple(put(part) for part in batch[3:])
         state, loss = step(
             state, put(to_model_input(imgs)), put(boxes), put(cls), *extra
         )
@@ -196,15 +219,19 @@ def main() -> int:
             )
 
     trained = {"params": state.params, "batch_stats": state.batch_stats}
-    recall, precision, n_gt, miou = evaluate(model, trained, args)
-    seg_note = f"  mask-IoU {miou:.3f}" if seg else ""
+    recall, precision, n_gt, quality = evaluate(model, trained, args)
+    q_note = {
+        "segment": f"  mask-IoU {quality:.3f}",
+        "obb": f"  angle-err {quality:.2f} deg",
+        "pose": f"  kpt-err {quality:.2f} px",
+    }.get(args.task, "")
     print(
-        f"[eval] recall {recall:.3f}  precision {precision:.3f}{seg_note}  "
+        f"[eval] recall {recall:.3f}  precision {precision:.3f}{q_note}  "
         f"({n_gt} gt objects, IoU>=0.5, conf>={args.conf})"
     )
 
     trained_np = jax.tree.map(np.asarray, trained)
-    save_checkpoint(args.out, model, trained_np, {"names": list(CLASS_NAMES)})
+    save_checkpoint(args.out, model, trained_np, {"names": list(names)})
     print(f"[train] saved {args.out} (+ .json sidecar)")
     return 0
 
