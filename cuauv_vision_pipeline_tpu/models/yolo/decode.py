@@ -335,8 +335,15 @@ def decode(
         masks = compose_masks(
             outputs["proto"][0], coefs, out["xyxy"], image_size
         )
-        # invalid slots must not leak the argmax-0 anchor's mask
-        out["mask"] = masks * valid[:, None, None].astype(masks.dtype)
+        # threshold ON DEVICE (0.5 on probabilities == ultralytics'
+        # .gt_(0) on logits) and ship uint8: the host path only ever
+        # applies >= 0.5, and f32 probabilities would put 4x the bytes
+        # ([max_det, S/4, S/4]) on the device->host fetch that sits in
+        # the camera-to-detection latency budget. Invalid slots must not
+        # leak the argmax-0 anchor's mask.
+        out["mask"] = (
+            (masks >= 0.5) & valid[:, None, None]
+        ).astype(jnp.uint8)
     return out
 
 
@@ -391,6 +398,9 @@ def summarize(
     prototype resolution and mapped through mask -> model (pixel-center
     x image_size/Hp) -> frame coordinates, the format ultralytics
     Results.summary() emits for -seg models."""
+    if task == "segment":
+        from ...utils.contours import contour_area, find_contours  # noqa: F401
+
     results = []
     valid = np.asarray(decoded["valid"])
     xyxy = np.asarray(decoded["xyxy"])
@@ -441,8 +451,6 @@ def summarize(
                 "visible": [float(v) for v in k[:, 2]],
             }
         if task == "segment" and "mask" in decoded and image_size:
-            from ...utils.contours import contour_area, find_contours
-
             mask = np.asarray(decoded["mask"])[i] >= 0.5
             # mask pixel centers -> model pixels (proto grid is square)
             factor = float(image_size) / mask.shape[0]

@@ -156,6 +156,7 @@ class YoloModel:
         max_det: int = 32,
         half_precision: bool = True,
         quantize: Optional[str] = None,
+        nms_pool: int = 512,
     ):
         """half_precision runs the conv stack in bfloat16 on the MXU (params
         cast at trace time; decode stays f32) — the production inference
@@ -165,11 +166,15 @@ class YoloModel:
         bf16 — an HBM-footprint knob). quantize="w8a8" (or env
         CUAUV_YOLO_QUANT=w8a8) runs every conv as int8 x int8 on the MXU
         with dynamic per-tensor activation scales
-        (_w8a8_conv_interceptor)."""
+        (_w8a8_conv_interceptor). nms_pool bounds the greedy-NMS candidate
+        set (decode.decode's top-k prefilter — exact while the
+        above-conf_thresh candidate count fits it); raise it together
+        with very low conf_thresh values, e.g. recall sweeps."""
         self.image_size = image_size
         self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
+        self.nms_pool = nms_pool
         self._tracker = ByteTracker()
         if quantize is None:
             env_q = os.environ.get("CUAUV_YOLO_QUANT", "")
@@ -291,6 +296,7 @@ class YoloModel:
                 reg_max=reg_max,
                 conf_thresh=self.conf_thresh,
                 max_det=self.max_det,
+                nms_pool=self.nms_pool,
             )
 
         self._forward = jax.jit(forward)
@@ -342,6 +348,7 @@ class YoloModel:
                 reg_max=self.model.reg_max,
                 conf_thresh=self.conf_thresh,
                 max_det=self.max_det,
+                nms_pool=self.nms_pool,
             )
 
         return jax.vmap(one)(xs)

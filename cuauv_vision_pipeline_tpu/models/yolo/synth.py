@@ -279,16 +279,20 @@ def make_task_batch(
     batch: int,
     size: int = 128,
     task: str = "detect",
-    max_objects: int = 3,
+    max_objects: int = None,
 ):
     """Stacked scenes + the task's extra target (None / masks / angles /
-    kpts), shaped for train.make_train_step's trailing argument."""
+    kpts), shaped for train.make_train_step's trailing argument.
+    max_objects=None picks the task default (3; obb/pose 2 — rotated
+    slabs and keypointed discs need more clearance per object)."""
+    if max_objects is None:
+        max_objects = 2 if task in ("obb", "pose") else 3
     if task == "segment":
         return make_batch(rng, batch, size, max_objects, with_masks=True)
     if task == "obb":
-        scenes = [render_obb_scene(rng, size, 2) for _ in range(batch)]
+        scenes = [render_obb_scene(rng, size, max_objects) for _ in range(batch)]
     elif task == "pose":
-        scenes = [render_pose_scene(rng, size, 2) for _ in range(batch)]
+        scenes = [render_pose_scene(rng, size, max_objects) for _ in range(batch)]
     else:
         return make_batch(rng, batch, size, max_objects)
     return tuple(np.stack(part) for part in zip(*scenes))

@@ -56,9 +56,7 @@ def segment_loss(
     the three scales' assignments (each scale's assigned anchor must
     learn coefficients for the gts it owns)."""
     proto = outputs["proto"]  # [B, Hp, Wp, nm]
-    B, hp, wp, _ = proto.shape
-    centers_x = (targets_xyxy[..., 0] + targets_xyxy[..., 2]) / 2
-    centers_y = (targets_xyxy[..., 1] + targets_xyxy[..., 3]) / 2
+    hp, wp = proto.shape[1], proto.shape[2]
 
     # gt boxes on the prototype grid + crop window (match decode's
     # compose_masks: >= left/top, < right/bottom, pixel indices)
@@ -76,22 +74,15 @@ def segment_loss(
     )  # [B, T, hp, wp]
     area = jnp.maximum((x2 - x1) * (y2 - y1), 1.0)  # [B, T] proto pixels
 
+    denom = jnp.maximum(valid_t.sum(), 1)
     total = 0.0
     for i, stride in enumerate(STRIDES):
-        coef_map = outputs["mcoef"][i]  # [B, H, W, nm]
-        H, W = coef_map.shape[1], coef_map.shape[2]
-        gx = jnp.clip((centers_x / stride).astype(jnp.int32), 0, W - 1)
-        gy = jnp.clip((centers_y / stride).astype(jnp.int32), 0, H - 1)
-        flat_idx = gy * W + gx  # [B, T]
-        coefs = jnp.take_along_axis(
-            coef_map.reshape(B, H * W, -1),
-            flat_idx[..., None],
-            axis=1,
+        coefs = _gather_assigned(
+            outputs["mcoef"][i], targets_xyxy, stride
         )  # [B, T, nm]
         logits = jnp.einsum("btc,bhwc->bthw", coefs, proto)
         bce = optax.sigmoid_binary_cross_entropy(logits, targets_masks)
         per_gt = (bce * crop).sum(axis=(-2, -1)) / area  # [B, T]
-        denom = jnp.maximum(valid_t.sum(), 1)
         total = total + (per_gt * valid_t).sum() / denom
     return total / len(STRIDES)
 
@@ -184,7 +175,10 @@ def pose_kpt_loss(
         kx = (k[..., 0] * 2.0) * stride + (ax[..., None] - 0.5 * stride)
         ky = (k[..., 1] * 2.0) * stride + (ay[..., None] - 0.5 * stride)
         pos_l1 = (jnp.abs(kx - gx) + jnp.abs(ky - gy)) / diag[..., None]
-        pos = (pos_l1 * gv).mean(-1)  # [B, T] visible-weighted
+        # average over VISIBLE keypoints only — a mean over all nk would
+        # dilute partially-occluded instances' position gradient nk/visible-fold
+        n_vis = jnp.maximum(gv.sum(-1), 1.0)
+        pos = (pos_l1 * gv).sum(-1) / n_vis  # [B, T]
         vis = optax.sigmoid_binary_cross_entropy(k[..., 2], gv).mean(-1)
         total = total + ((pos + vis) * valid_t).sum() / denom
     return total / len(STRIDES)
@@ -196,9 +190,19 @@ def detection_loss(
     targets_cls: jnp.ndarray,  # [B, T] class ids; -1 = padding
     num_classes: int,
     reg_max: int = 16,
+    targets_angle: jnp.ndarray = None,  # [B, T] radians (obb task only)
 ) -> jnp.ndarray:
     """Center-assignment loss: each gt claims the anchor containing its
-    center at every scale; anchors without gts learn zero objectness."""
+    center at every scale; anchors without gts learn zero objectness.
+
+    ``targets_angle`` (obb): decode's dist2rbox places the box center at
+    anchor + R(angle) @ ((rb - lt) / 2), so the consistent ltrb target is
+    built from the anchor-to-center offset rotated INTO the box frame,
+    f = R(-angle) @ (center - anchor): lt = (w, h)/2 - f, rb = (w, h)/2 + f
+    — then (rb - lt)/2 rotated back by angle is exactly center - anchor,
+    and lt + rb stays (w, h). Without the rotation the decoded center
+    carries a systematic (R(angle) - I) @ offset bias of up to
+    ~0.7 * stride px that the loss can never remove."""
     total = 0.0
     B, T = targets_cls.shape
     centers_x = (targets_xyxy[..., 0] + targets_xyxy[..., 2]) / 2
@@ -234,15 +238,30 @@ def detection_loss(
         )  # [B, T, 4]
         ax = (gx.astype(jnp.float32) + 0.5) * stride
         ay = (gy.astype(jnp.float32) + 0.5) * stride
-        gt_ltrb = jnp.stack(
-            [
-                ax - targets_xyxy[..., 0],
-                ay - targets_xyxy[..., 1],
-                targets_xyxy[..., 2] - ax,
-                targets_xyxy[..., 3] - ay,
-            ],
-            axis=-1,
-        )
+        if targets_angle is None:
+            gt_ltrb = jnp.stack(
+                [
+                    ax - targets_xyxy[..., 0],
+                    ay - targets_xyxy[..., 1],
+                    targets_xyxy[..., 2] - ax,
+                    targets_xyxy[..., 3] - ay,
+                ],
+                axis=-1,
+            )
+        else:
+            # obb: offsets live in the rotated box frame (see docstring)
+            half_w = (targets_xyxy[..., 2] - targets_xyxy[..., 0]) / 2
+            half_h = (targets_xyxy[..., 3] - targets_xyxy[..., 1]) / 2
+            ox = centers_x - ax
+            oy = centers_y - ay
+            cos = jnp.cos(targets_angle)
+            sin = jnp.sin(targets_angle)
+            fx = ox * cos + oy * sin  # R(-angle) @ offset
+            fy = -ox * sin + oy * cos
+            gt_ltrb = jnp.stack(
+                [half_w - fx, half_h - fy, half_w + fx, half_h + fy],
+                axis=-1,
+            )
         box_l1 = jnp.abs(picked - gt_ltrb) * valid_t[..., None]
         denom = jnp.maximum(valid_t.sum(), 1)
         total = total + (box_l1.sum() / denom) / stride
@@ -318,7 +337,10 @@ def make_train_step(model: YOLO, tx: optax.GradientTransformation):
         outputs, updates = model.apply(
             variables, images, train=True, mutable=["batch_stats"]
         )
-        loss = detection_loss(outputs, t_xyxy, t_cls, model.num_classes, model.reg_max)
+        loss = detection_loss(
+            outputs, t_xyxy, t_cls, model.num_classes, model.reg_max,
+            targets_angle=t_extra if is_obb else None,
+        )
         valid_t = t_cls >= 0
         if is_segment:
             image_size = images.shape[1]

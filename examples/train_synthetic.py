@@ -77,6 +77,10 @@ def evaluate(model, variables, args, seed: int = 10_000):
                     quality.append(mask_iou(one["mask"][pi], batch[3][b][gi]))
                 elif task == "obb":
                     err = abs(float(one["angle"][pi]) - float(batch[3][b][gi]))
+                    # a rectangle's orientation is modulo pi: gt near one
+                    # end of the (-pi/4, 3pi/4) range and a prediction at
+                    # the other end are the same box
+                    err = min(err, abs(np.pi - err))
                     quality.append(np.degrees(err))
                 elif task == "pose":
                     gk = batch[3][b][gi]
