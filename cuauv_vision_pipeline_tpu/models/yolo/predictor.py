@@ -174,7 +174,9 @@ class YoloModel:
         self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
-        self.nms_pool = nms_pool
+        # env override reaches the serving modules (which construct
+        # YoloModel themselves and expose no kwarg path)
+        self.nms_pool = int(os.environ.get("CUAUV_YOLO_NMS_POOL", nms_pool))
         self._tracker = ByteTracker()
         if quantize is None:
             env_q = os.environ.get("CUAUV_YOLO_QUANT", "")
