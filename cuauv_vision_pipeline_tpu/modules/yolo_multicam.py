@@ -10,6 +10,10 @@ gated per camera direction ("forward" / "downward") exactly like the
 reference's ``*_direction`` flags intend.
 
 Run: ``python -m cuauv_vision_pipeline_tpu.modules.yolo_multicam zed flir``
+— or ANY number of cameras, with directions as aliases
+(``zed[forward] flir[downward] aux[forward]``): ``multicam_class`` builds
+the N-lane chain at launch, so every added camera adds one batch lane to
+the same dispatch, not another round trip.
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ from ..core.base import device_fn
 class YoloMulticam(Yolo):
     # (alias, reference direction string) per camera, batch order
     CAMERAS = (("forward", "forward"), ("flir", "downward"))
+    # post name per camera (index-matched with CAMERAS)
+    POST_NAMES = ("image_forward", "image_downward")
 
     @device_fn("zed[forward]", "flir", depth=1, async_fetch=True)
     def detect_chain(self, fwd, flir, *, tuners, want_posts):
@@ -43,7 +49,7 @@ class YoloMulticam(Yolo):
         if not hasattr(self, "_cam_trackers"):  # one track space per camera
             self._cam_trackers = [ByteTracker() for _ in self.CAMERAS]
         cam_hw = self._cam_hw
-        post_names = ("image_forward", "image_downward")
+        post_names = self.POST_NAMES
         for i, (alias, direction) in enumerate(self.CAMERAS):
             cam = {k: v[i] for k, v in decoded.items()}
             results = self.model.summarize_decoded(cam, cam_hw[i])
@@ -63,5 +69,54 @@ class YoloMulticam(Yolo):
         )
 
 
+def multicam_class(source_specs):
+    """Build an N-camera YoloMulticam subclass bound to ``source_specs``
+    (the CLI positional source strings): every camera letterboxes into
+    the SAME single batched dispatch via ``$i`` placeholder specs, so
+    adding a camera adds one lane, not one round trip. Each camera's
+    reference direction string comes from its first declared alias
+    (``zed[forward] flir[downward] aux[forward]``); without aliases the
+    first two default to the classic forward/downward pair. Repeated
+    directions get numbered post names (image_forward, image_forward2)."""
+    dirs = []
+    for i, spec in enumerate(source_specs):
+        if "[" in spec:
+            dirs.append(spec.split("[", 1)[1].split(",")[0].split("]")[0].strip())
+        else:
+            dirs.append("downward" if i == 1 else "forward")
+    post_names, seen = [], {}
+    for d in dirs:
+        seen[d] = seen.get(d, 0) + 1
+        post_names.append(
+            f"image_{d}" if seen[d] == 1 else f"image_{d}{seen[d]}"
+        )
+    specs = tuple(f"${i}" for i in range(len(source_specs)))
+    cameras = tuple((f"cam{i}", d) for i, d in enumerate(dirs))
+
+    class MulticamN(YoloMulticam):
+        CAMERAS = cameras
+        POST_NAMES = tuple(post_names)
+
+        @device_fn(*specs, depth=1, async_fetch=True)
+        def detect_chain(self, *frames, tuners, want_posts):
+            self._cam_hw = tuple(f.shape[:2] for f in frames)
+            decoded = dict(self.model.device_decode_multi(frames))
+            posts = (
+                dict(zip(self.POST_NAMES, frames)) if want_posts else {}
+            )
+            return decoded, posts
+
+    # keep the shm module name (and its post/tuner block names) stable
+    # across camera counts: class names may not contain "_" (ModuleBase)
+    MulticamN.__name__ = "YoloMulticam"
+    MulticamN.__qualname__ = "YoloMulticam"
+    return MulticamN
+
+
 if __name__ == "__main__":
-    YoloMulticam(video_sources=["zed", "flir"], tuners=TUNERS, handlers=HANDLERS)()
+    import sys
+
+    cli_sources = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sources = cli_sources or ["zed", "flir"]
+    cls = multicam_class(sources)
+    cls(video_sources=sources, tuners=TUNERS, handlers=HANDLERS)()

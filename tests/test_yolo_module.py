@@ -182,3 +182,69 @@ def test_multicam_one_dispatch_two_cameras():
     # per-camera track spaces exist
     assert len(module._cam_trackers) == 2
     assert shm.yolo_status.get().frames >= 1
+
+
+def test_multicam_factory_three_cameras():
+    """multicam_class builds an N-camera module: $i placeholder specs, one
+    batched dispatch with a 3-camera axis, directions from CLI aliases,
+    numbered post names for repeated directions."""
+    from cuauv_vision_pipeline_tpu.core.base import DeviceResultMeta
+    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
+    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+    from cuauv_vision_pipeline_tpu.modules import yolo as Y
+    from cuauv_vision_pipeline_tpu.modules import yolo_multicam as YM
+
+    cls = YM.multicam_class(["zed[forward]", "flir[downward]", "aux[forward]"])
+    assert cls.__name__ == "YoloMulticam"  # shm block names stay stable
+    assert tuple(d for _, d in cls.CAMERAS) == ("forward", "downward", "forward")
+    assert cls.POST_NAMES == ("image_forward", "image_downward", "image_forward2")
+    assert cls.detect_chain._device_fn_aliases == ("$0", "$1", "$2")
+
+    module = object.__new__(cls)
+    posts = {}
+    module.post = lambda name, img, cs="BGR": posts.__setitem__(name, img.shape)
+    module._performance_enabled = False
+
+    class Tuners(dict):
+        def __getitem__(self, k):
+            return 0.05
+
+    module._module_manager = Tuners()
+    module.normalize = lambda c: (c[0] / 160 - 0.5, c[1] / 160 - 0.5)
+    module.normalize_axis = lambda c, a: c / 160 - 0.5
+    module.get_latency = lambda: 0
+    HandlerMixin.__init__(module, Y.HANDLERS)
+    module.model = YoloModel(None, task="obb", image_size=160, conf_thresh=0.0,
+                             max_det=8)
+    module.yolo_model_type = module.model.task
+    module.map_fn = MAP_FN[module.yolo_model_type]
+
+    shm.active_objects.set_field("yolo_gate", True)
+    shm.active_objects.set_field("yolo_gate_direction", "forward")
+    for flag in ("yolo_torpedoes_board", "yolo_slalom", "yolo_bins",
+                 "yolo_gate_behind", "yolo_manipulator"):
+        shm.active_objects.set_field(flag, False)
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 255, hw + (3,), np.uint8)
+        for hw in ((120, 160), (80, 100), (64, 64))
+    ]
+    decoded, chain_posts = module.detect_chain(
+        *frames, tuners={}, want_posts=True
+    )
+    decoded = jax.tree.map(np.asarray, decoded)
+    chain_posts = jax.tree.map(np.asarray, chain_posts)
+    assert all(v.shape[0] == 3 for v in decoded.values())
+    assert set(chain_posts) == set(cls.POST_NAMES)
+
+    meta = DeviceResultMeta(
+        aliases=("cam0", "cam1", "cam2"),
+        acquisition_time=int(time.monotonic() * 1000),
+        submit_time=time.monotonic(),
+    )
+    module.on_device_result(decoded, chain_posts, meta)
+    for name, frame in zip(cls.POST_NAMES, frames):
+        assert posts[name] == frame.shape
+    assert len(module._cam_trackers) == 3
