@@ -1021,6 +1021,9 @@ class ModuleBase(ABC):
                 f"({len(jax.devices())} device(s))",
                 True,
             )
+            from .trace import maybe_start_device_profile
+
+            maybe_start_device_profile(logger)
 
         while self._retry:
             self._retry = False

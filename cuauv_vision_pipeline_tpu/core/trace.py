@@ -130,3 +130,35 @@ class Tracer:
 
 
 tracer = Tracer()
+
+
+_profile_active = False
+
+
+def maybe_start_device_profile(logger=None) -> bool:
+    """Start a jax.profiler device trace when $CUAUV_JAX_PROFILE_DIR is
+    set (TensorBoard/perfetto format — XLA op timelines, HBM usage, the
+    level below the host-span Chrome traces above). Stops at process exit
+    via atexit. Call after the backend is initialized; returns whether a
+    trace started. Complements $CUAUV_TRACE_DIR: that one answers "where
+    does host time go", this one "what does the chip do inside a step"."""
+    global _profile_active
+    profile_dir = os.environ.get("CUAUV_JAX_PROFILE_DIR")
+    if not profile_dir or _profile_active:
+        return False
+    import jax
+
+    os.makedirs(profile_dir, exist_ok=True)
+    jax.profiler.start_trace(profile_dir)
+    _profile_active = True
+
+    def _stop() -> None:
+        global _profile_active
+        if _profile_active:
+            _profile_active = False
+            jax.profiler.stop_trace()
+
+    atexit.register(_stop)
+    if logger is not None:
+        logger(f"jax.profiler trace -> {profile_dir}", True)
+    return True
