@@ -34,6 +34,19 @@ class YOLOData:
     def area(self) -> float:
         return abs(self.x2 - self.x1) * abs(self.y2 - self.y1)
 
+    @property
+    def corners(self) -> List[Tuple[float, float]]:
+        """The box as a 4-corner quad (tl, tr, br, bl) — the shape the OBB
+        handlers consume (handlers/obb_common.py order_points), so
+        detect/pose/segment checkpoints serve through the same six
+        handlers instead of crashing on the missing attribute."""
+        return [
+            (self.x1, self.y1),
+            (self.x2, self.y1),
+            (self.x2, self.y2),
+            (self.x1, self.y2),
+        ]
+
 
 @dataclass
 class OBBData:

@@ -248,3 +248,44 @@ def test_multicam_factory_three_cameras():
     for name, frame in zip(cls.POST_NAMES, frames):
         assert posts[name] == frame.shape
     assert len(module._cam_trackers) == 3
+
+
+def test_detect_checkpoint_serves_through_obb_handlers():
+    """A non-OBB (detect/pose/segment) checkpoint's detections flow
+    through the six handlers: YOLOData.corners presents the box as a
+    (tl, tr, br, bl) quad, so order_points/quad-area handlers work for
+    every box-producing task, not only obb."""
+    from cuauv_vision_pipeline_tpu.core.handlers import HandlerMixin
+    from cuauv_vision_pipeline_tpu.models.yolo.data import MAP_FN
+    from cuauv_vision_pipeline_tpu.models.yolo.predictor import YoloModel
+    from cuauv_vision_pipeline_tpu.modules import yolo as Y
+
+    module = object.__new__(Y.Yolo)
+    posts = {}
+    module.post = lambda name, img, cs="BGR": posts.__setitem__(name, img.shape)
+    module._performance_enabled = False
+
+    class Tuners(dict):
+        def __getitem__(self, k):
+            return 0.0  # accept every detection: handlers must RUN
+
+    module._module_manager = Tuners()
+    module.normalize = lambda c: (c[0] / 160 - 0.5, c[1] / 160 - 0.5)
+    module.normalize_axis = lambda c, a: c / 160 - 0.5
+    module.get_latency = lambda: 0
+    HandlerMixin.__init__(module, Y.HANDLERS)
+    module.model = YoloModel(None, task="detect", image_size=160,
+                             conf_thresh=0.0, max_det=8)
+    module.yolo_model_type = module.model.task
+    module.map_fn = MAP_FN[module.yolo_model_type]
+
+    for flag in (
+        "yolo_torpedoes_board", "yolo_slalom", "yolo_gate",
+        "yolo_gate_behind", "yolo_bins", "yolo_manipulator",
+    ):
+        shm.active_objects.set_field(flag, True)
+        shm.active_objects.set_field(f"{flag}_direction", "forward")
+
+    img = np.random.default_rng(4).integers(0, 255, (160, 160, 3), np.uint8)
+    _run_chain(module, img)  # raised AttributeError('corners') before
+    assert "original image" in posts
