@@ -29,12 +29,18 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--seconds", type=float, default=30.0)
     parser.add_argument("--port", type=int, default=8080)
+    # 1080p is the chip-sized default; CPU-only hosts should pass
+    # something like --width 480 --height 270 (a 1080p batch dispatch
+    # takes minutes per frame on one CPU core)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
     args = parser.parse_args()
 
     procs = [
         spawn(
             "cuauv_vision_pipeline_tpu.capture_sources.synthetic",
             "zed", "--scene", "zed", "--fps", "10",
+            "--width", str(args.width), "--height", str(args.height),
         ),
         spawn("cuauv_vision_pipeline_tpu.modules.red_buoy", "zed"),
         spawn(
