@@ -9,6 +9,7 @@ Thresholds arrive as traced scalars so tuner changes do NOT recompile.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -134,10 +135,19 @@ def red_buoy_fused(
     """
     from ..ops.pallas.ccl_kernel import label_pallas
 
-    kernel = M.rect_kernel(5)
     lab = C.bgr_to_lab(image)
     threshed = T.in_range(lab[..., 1], thresh_min, thresh_max)
-    cleaned = M.close_morph(M.open_morph(threshed, kernel), kernel)
+    if os.environ.get("CUAUV_FUSED_MORPH", "0") == "1":
+        # one-HBM-pass Pallas open+close (ops/pallas/morph_kernel.py):
+        # bit-exact vs the composed path (tests/test_pallas_morph.py),
+        # default-off until a real-chip headline run proves it faster
+        # than XLA's four reduce_windows (ROADMAP round-4 queue)
+        from ..ops.pallas.morph_kernel import fused_morph
+
+        cleaned = fused_morph(threshed, "open_close")
+    else:
+        kernel = M.rect_kernel(5)
+        cleaned = M.close_morph(M.open_morph(threshed, kernel), kernel)
     labels = label_pallas(threshed)
     stats = ccl.component_stats(labels, max_components)
     i = jnp.argmax(stats["area"])
