@@ -844,3 +844,43 @@ def test_w8a8_interceptor_respects_dilation():
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
     assert err < 0.05 * scale, f"dilated int8 conv off by {err}"
     assert np.abs(np.asarray(got) - np.asarray(und)).max() > 0.1 * scale
+
+
+def test_pose_pt_roundtrip_custom_nk(tmp_path):
+    """A pose .pt with a custom keypoint count (nk=4 AUV targets, not
+    COCO's 17) round-trips: task inferred from the 3*nk-wide cv4 branch,
+    nk from its width, and decoded keypoints match the source model."""
+    torch = pytest.importorskip("torch")
+    from cuauv_vision_pipeline_tpu.models.yolo.decode import decode
+    from cuauv_vision_pipeline_tpu.models.yolo.model import create_model
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import (
+        export_ultralytics_state,
+        load_checkpoint,
+    )
+
+    model, variables = create_model(
+        2, size="n", task="pose", image_size=128, num_keypoints=4
+    )
+    state = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_ultralytics_state(variables, "pose").items()
+    }
+    path = tmp_path / "toy-pose.pt"
+    torch.save({"model": state, "names": {0: "a", 1: "b"}}, str(path))
+
+    model2, variables2, meta = load_checkpoint(str(path))
+    assert meta["task"] == "pose"
+    assert meta["num_keypoints"] == 4
+    assert model2.num_keypoints == 4
+
+    img = jnp.asarray(
+        np.random.default_rng(3).integers(0, 255, (1, 128, 128, 3), np.uint8),
+        jnp.float32,
+    )
+    d1 = decode(model.apply(variables, img), 128, max_det=4, conf_thresh=0.0)
+    d2 = decode(model2.apply(variables2, img), 128, max_det=4, conf_thresh=0.0)
+    assert d1["kpts"].shape == (4, 4, 3)
+    for k in ("xyxy", "score", "kpts"):
+        np.testing.assert_allclose(
+            np.asarray(d1[k]), np.asarray(d2[k]), rtol=1e-4, atol=1e-4
+        )
