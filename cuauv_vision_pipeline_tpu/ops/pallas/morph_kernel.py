@@ -19,11 +19,15 @@ composed ``ops.morphology`` calls do by re-padding per op. Exactness vs
 the XLA path is pinned by tests/test_pallas_morph.py over sizes that
 exercise strip seams and ragged edges.
 
-DEFAULT-OFF in the production chain (CUAUV_FUSED_MORPH=1 enables): the
-projected win is bounded (~25% of the headline chain) and must be
-measured on real hardware before it earns the default — the round-1
-lesson (a hand kernel for blob stats lost 36x to XLA's fusion,
-ROADMAP.md) is that TPU kernels are guilty until profiled.
+DEFAULT-OFF in the production chain (CUAUV_FUSED_MORPH=1 enables), and
+now MEASURED on the real chip (round 3): the fused kernel is SLOWER than
+XLA's four reduce_windows — 0.059 vs 0.038 ms standalone at 1080p, and
+16,071 vs 18,295 fps inside the dependence-chained headline in the same
+window. Per-program overhead dominates both variants at this size and
+XLA's lowering already runs near its HBM floor, so the projected ~25%
+was never there to take. Kept as a bit-exact, tested reference of the
+strip/halo Pallas pattern; the round-1 lesson (a hand kernel for blob
+stats lost 36x to XLA's fusion, ROADMAP.md) holds a second time.
 """
 
 from __future__ import annotations
