@@ -57,7 +57,7 @@ SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
 BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
 CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "700"))
 CONFIGS = os.environ.get(
-    "BENCH_CONFIGS", "h,s,d,t,b,y,p,1,5,2,3,4"
+    "BENCH_CONFIGS", "h,s,d,t,b,y,r,p,1,5,2,3,4"
 ).split(",")
 
 # PCIe-class link model for the derived budgets: effective pinned-host
@@ -577,6 +577,29 @@ def device_step_bench() -> None:
     multi_ms = (time.perf_counter() - t0) / 100 * 1000
     TERMS["yolo_multicam_step_ms"] = multi_ms
 
+    # same-camera batch=8: the @device_fn(batch=K) dispatch shape for yolo
+    # (CUAUV_YOLO_BATCH). One [8,720p] stack -> ONE 8-batch conv stack;
+    # yolo-n at batch 1 fills ~10-20% of the MXU, so this lane measures how
+    # much of the step is reclaimable by batching.
+    BATCH = 8
+    stack = jax.device_put(
+        np.stack([np.asarray(f) for f in cb_frames] * 2)
+    )
+    jax.block_until_ready(stack)
+    batched = jax.jit(lambda ims: model.device_decode_batch(ims))
+    out = batched(stack)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = batched(stack)
+    jax.block_until_ready(out)
+    batch_ms = (time.perf_counter() - t0) / 50 * 1000
+    TERMS["yolo_batch8_step_ms"] = batch_ms
+    log(
+        f"device step yolo batch=8: {batch_ms:.3f} ms/dispatch "
+        f"({batch_ms / BATCH:.3f} ms/frame)"
+    )
+
     note = (
         "amortized async dispatch at 720p (red_buoy at 1080p from the "
         "headline); the `step` term of the derived budgets"
@@ -610,6 +633,72 @@ def device_step_bench() -> None:
         per_camera_ms=round(multi_ms / 2, 3),
         single_camera_ms=round(yolo_ms, 3),
         note="zed 720p + flir 600p letterboxed into ONE batched MXU dispatch (modules/yolo_multicam.py chain)",
+    )
+    emit(
+        "device_step_yolo_batch8_720p_ms",
+        round(batch_ms / 8, 3),
+        "ms/frame",
+        dispatch_ms=round(batch_ms, 3),
+        single_frame_ms=round(yolo_ms, 3),
+        note="8 same-camera 720p frames as ONE 8-batch conv stack (the CUAUV_YOLO_BATCH=8 @device_fn dispatch shape); per-frame = dispatch/8",
+    )
+
+
+def train_step_bench() -> None:
+    """On-chip training throughput: the detect train step (forward + TAL
+    assignment + CIoU/BCE/DFL losses + backward + adam update) at n-width,
+    batch 16, 320^2 — the in-repo training capability the reference lacks
+    (it consumed externally-trained ultralytics weights, reference
+    modules/yolo.py:44-55). Weights and batch stay device-resident; the
+    loop is dependence-chained by construction (state feeds state)."""
+    import jax
+
+    from cuauv_vision_pipeline_tpu.models.yolo.model import create_model
+    from cuauv_vision_pipeline_tpu.models.yolo.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    image_size, batch = 320, 16
+    model, variables = create_model(
+        num_classes=8, size="n", task="detect", image_size=image_size
+    )
+    state, tx = create_train_state(model, variables)
+    step = jax.jit(make_train_step(model, tx))
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.random((batch, image_size, image_size, 3), np.float32).astype(
+            np.float32
+        )
+    )
+    t_xyxy = jax.device_put(
+        (rng.random((batch, 6, 4)).astype(np.float32) * image_size)
+    )
+    t_cls = jax.device_put(rng.integers(0, 8, (batch, 6)).astype(np.int32))
+    state = jax.device_put(state)
+
+    new_state, loss = step(state, images, t_xyxy, t_cls)
+    jax.block_until_ready(loss)  # compile
+    ITERS = 30
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        new_state, loss = step(new_state, images, t_xyxy, t_cls)
+    jax.block_until_ready(loss)
+    ms = (time.perf_counter() - t0) / ITERS * 1000
+    log(f"train step (detect n, b{batch}@{image_size}): {ms:.2f} ms")
+    emit(
+        "train_step_detect_n_b16_320_ms",
+        round(ms, 2),
+        "ms/step",
+        images_per_sec=round(batch * 1000.0 / ms, 1),
+        loss=float(loss),
+        note=(
+            "full detect train step on one chip (forward + TAL assign + "
+            "CIoU/BCE/DFL + backward + adam), n-width, batch 16 @ 320^2, "
+            "state device-resident and dependence-chained; beyond-reference "
+            "capability (models/yolo/train.py)"
+        ),
     )
 
 
@@ -1645,6 +1734,7 @@ def main() -> None:
         "t": ("H2D transfer", transfer_bench, 300),
         "b": ("bus roundtrip", bus_roundtrip_bench, 120),
         "y": ("yolo host path", yolo_host_path_bench, 620),
+        "r": ("train step", train_step_bench, 500),
         "p": ("derived PCIe budgets", _derived_with_host_legs, 650),
         "1": ("config 1: red_buoy e2e topology", config1_red_buoy_e2e, CONFIG_CAP_S),
         "5": ("config 5: yolo p50 latency", config5_yolo_latency, CONFIG_CAP_S),

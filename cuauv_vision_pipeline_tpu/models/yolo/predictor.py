@@ -314,6 +314,23 @@ class YoloModel:
         fixed-shape decode dict of device arrays."""
         return self._forward(self._infer_vars, image)
 
+    def device_decode_batch(self, images) -> Dict:
+        """Same-camera batched forward: ``[K, H, W, 3]`` queue-drained
+        frames (the shape a ``@device_fn(batch=K)`` dispatch carries,
+        core/base.py) as ONE K-batch conv stack through the MXU. Every
+        leaf of the returned decode dict gains a leading lane axis.
+
+        This is the MXU-amortization twin of ``device_decode_multi``
+        (N *different* cameras): yolo-n at batch 1 fills ~10-20% of the
+        128x128 systolic array (BENCH_NOTES speed-of-light section);
+        batching over the conv batch dim is the lever that raises it.
+        """
+        import jax
+
+        return jax.vmap(lambda im: self._forward(self._infer_vars, im))(
+            images
+        )
+
     def device_decode_multi(self, images) -> Dict:
         """Multi-camera batched forward: letterbox each frame (shapes are
         static per camera at trace time), stack to ``[N, S, S, 3]``, and

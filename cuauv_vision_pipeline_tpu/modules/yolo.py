@@ -124,7 +124,25 @@ class Yolo(ModuleBase, HandlerMixin):
     # frame N+1, so depth 1 keeps full throughput on the fetch-bound path
     # while holding only one frame of queueing delay (depth 2 adds a whole
     # extra fetch interval of latency for no throughput gain).
-    @device_fn("zed[forward]", depth=1, async_fetch=True)
+    # CUAUV_YOLO_BATCH=K (default 1) turns on queue-depth batching: when
+    # the module falls behind, up to K drained frames run as ONE K-batch
+    # conv stack — yolo-n at batch 1 fills ~10-20% of the MXU, so lanes
+    # are nearly free (device_step_yolo_batch8 in bench.py). vmap mode:
+    # unlike the red_buoy chain there is no VMEM-hungry custom call, and
+    # map would serialize the convs, forfeiting the MXU amortization.
+    # CUAUV_YOLO_LATEST_ONLY=M instead drops stale frames beyond a
+    # backlog of M (the reference's latest-wins, cmf.cpp:423).
+    @device_fn(
+        "zed[forward]",
+        depth=1,
+        async_fetch=True,
+        batch=int(os.environ.get("CUAUV_YOLO_BATCH", "1")),
+        latest_only_backlog=(
+            int(os.environ["CUAUV_YOLO_LATEST_ONLY"])
+            if os.environ.get("CUAUV_YOLO_LATEST_ONLY")
+            else None
+        ),
+    )
     def detect_chain(self, image, *, tuners, want_posts):
         """Forward + DFL decode + NMS as one device graph; the fixed-shape
         decode dict rides back in a single packed fetch. Host keeps the

@@ -158,6 +158,26 @@ def test_predictor_end_to_end_random_weights():
         assert "track_id" in r
 
 
+def test_device_decode_batch_matches_single():
+    """device_decode_batch ([K,H,W,3] -> ONE K-batch conv stack, the
+    CUAUV_YOLO_BATCH dispatch shape) produces the same decode per lane as
+    K separate device_decode calls (f32 path; bf16 batched convs may
+    reassociate, the module ships f32-exactness here)."""
+    m = YoloModel(None, task="detect", image_size=64, max_det=4,
+                  conf_thresh=0.0, half_precision=False)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (3, 48, 64, 3), np.uint8)
+
+    batched = {k: np.asarray(v) for k, v in m.device_decode_batch(frames).items()}
+    for lane in range(3):
+        single = {k: np.asarray(v) for k, v in m.device_decode(frames[lane]).items()}
+        for k, v in single.items():
+            assert batched[k].shape[1:] == v.shape, (k, batched[k].shape, v.shape)
+            np.testing.assert_allclose(
+                batched[k][lane], v, rtol=1e-5, atol=1e-5, err_msg=k
+            )
+
+
 def test_pose_predictor_end_to_end_random_weights():
     """The full pose serving path — forward, decode (kpts branch),
     summarize (keypoints dict), MAP_FN['pose'] parse — produces

@@ -85,6 +85,30 @@ def test_detect_chain_dispatches_all_active_handlers():
     assert shm.yolo_status.get_field("frames") >= 1
 
 
+def test_batch_env_knobs_configure_device_fn(monkeypatch):
+    """CUAUV_YOLO_BATCH / CUAUV_YOLO_LATEST_ONLY flow into the @device_fn
+    spec (read at import — the knob is per-process, like --device). vmap
+    mode: batched conv stacks are the point (predictor.device_decode_batch
+    parity is pinned in test_yolo.py)."""
+    import importlib
+
+    from cuauv_vision_pipeline_tpu.modules import yolo as Y
+
+    monkeypatch.setenv("CUAUV_YOLO_BATCH", "4")
+    monkeypatch.setenv("CUAUV_YOLO_LATEST_ONLY", "2")
+    try:
+        Y2 = importlib.reload(Y)
+        assert Y2.Yolo.detect_chain._device_fn_batch == 4
+        assert Y2.Yolo.detect_chain._device_fn_latest_only == 2
+        assert Y2.Yolo.detect_chain._device_fn_batch_mode == "vmap"
+    finally:
+        monkeypatch.delenv("CUAUV_YOLO_BATCH")
+        monkeypatch.delenv("CUAUV_YOLO_LATEST_ONLY")
+        Y3 = importlib.reload(Y)
+        assert Y3.Yolo.detect_chain._device_fn_batch == 1
+        assert Y3.Yolo.detect_chain._device_fn_latest_only is None
+
+
 def test_inactive_detector_posts_grayscale():
     module, posts = _make_module()
     shm.active_objects.set_field("yolo_gate", False)
