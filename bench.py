@@ -57,7 +57,7 @@ SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
 BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
 CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "700"))
 CONFIGS = os.environ.get(
-    "BENCH_CONFIGS", "h,s,d,t,b,y,r,p,1,5,2,3,4"
+    "BENCH_CONFIGS", "h,s,d,t,b,y,r,p,1,5,2,3,4,8"
 ).split(",")
 
 # PCIe-class link model for the derived budgets: effective pinned-host
@@ -578,9 +578,10 @@ def device_step_bench() -> None:
     TERMS["yolo_multicam_step_ms"] = multi_ms
 
     # same-camera batch=8: the @device_fn(batch=K) dispatch shape for yolo
-    # (CUAUV_YOLO_BATCH). One [8,720p] stack -> ONE 8-batch conv stack;
-    # yolo-n at batch 1 fills ~10-20% of the MXU, so this lane measures how
-    # much of the step is reclaimable by batching.
+    # (CUAUV_YOLO_BATCH). One [8,720p] stack -> ONE 8-batch conv stack.
+    # Measures the per-frame device-compute cost of batching (observed ~2x
+    # at batch 8 — the 640^2 convs already fill the MXU at batch 1); the
+    # e2e win is round-trip amortization, measured by config 5b.
     BATCH = 8
     stack = jax.device_put(
         np.stack([np.asarray(f) for f in cb_frames] * 2)
@@ -640,7 +641,7 @@ def device_step_bench() -> None:
         "ms/frame",
         dispatch_ms=round(batch_ms, 3),
         single_frame_ms=round(yolo_ms, 3),
-        note="8 same-camera 720p frames as ONE 8-batch conv stack (the CUAUV_YOLO_BATCH=8 @device_fn dispatch shape); per-frame = dispatch/8",
+        note="8 same-camera 720p frames as ONE 8-batch conv stack (the CUAUV_YOLO_BATCH=8 @device_fn dispatch shape); per-frame = dispatch/8 — device compute per frame RISES vs batch 1 (640^2 convs fill the MXU at batch 1); the e2e win is K frames per round trip (config 5b / yolo_e2e_batch8_fps)",
     )
 
 
@@ -1598,6 +1599,89 @@ def config5_yolo_latency() -> None:
         stop(mod, flir, zed)
 
 
+def config5b_yolo_batch_throughput() -> None:
+    """Config 5 under SATURATION with queue-depth batching: the zed
+    stand-in runs at 30 fps (far above what one-dispatch-per-frame can
+    drain on this link) and the yolo module runs CUAUV_YOLO_BATCH=8, so
+    each tick drains up to 8 queued frames into ONE 8-batch conv stack.
+    yolo_status.seq advances once per LANE, so its rate is true e2e
+    frames/sec; compare against config 5's one-frame-per-dispatch fps in
+    the same sweep for the amortization factor. The latency samples mix
+    lanes (oldest lanes carry queueing delay by design — that is the
+    throughput trade; latest-wins is the CUAUV_YOLO_LATEST_ONLY knob)."""
+    from cuauv_vision_pipeline_tpu.core import shm
+
+    clean_shm()
+    zed = spawn(
+        [
+            "cuauv_vision_pipeline_tpu.capture_sources.synthetic",
+            "zed",
+            "--scene",
+            "zed",
+            "--width",
+            "1280",
+            "--height",
+            "720",
+            "--fps",
+            "30",
+            "--precompute",
+            "4",
+        ],
+        "c5b_zed",
+    )
+    mod = spawn(
+        [
+            "cuauv_vision_pipeline_tpu.modules.yolo",
+            "zed",
+            "--fps",
+            "1000",
+        ],
+        "c5b_mod",
+        env={"CUAUV_YOLO_BATCH": "8"},
+    )
+    try:
+        grp = shm.yolo_status
+        # min_advance=80: the module pre-compiles one trace per fresh-lane
+        # count (1..8) after its first dispatch; a handful of early lane
+        # deliveries does NOT mean the batched flow is warm (a 3-advance
+        # gate once opened the window mid-compile and measured 0.2 fps)
+        wait_counter(
+            lambda: grp.seq, WARM_S, "yolo batched detections", min_advance=80
+        )
+        fps, lats = measure_counter(
+            lambda: grp.seq,
+            lambda: grp.latency_ms.get(),
+            seconds=max(MEASURE_S, 15),
+        )
+        single = next(
+            (
+                r.get("fps")
+                for r in RESULTS
+                if r["metric"] == "yolo_p50_camera_to_detection_ms"
+            ),
+            None,
+        )
+        emit(
+            "yolo_e2e_batch8_fps",
+            round(fps, 2),
+            "frames/sec",
+            p50_latency_ms=round(p50(lats), 1),
+            n_samples=len(lats),
+            single_dispatch_fps=single,
+            amortization_x=(round(fps / single, 2) if single else None),
+            note=(
+                "30 fps zed stand-in -> yolo CUAUV_YOLO_BATCH=8 (up to 8 "
+                "queued frames per 8-batch conv stack); seq counts lanes = "
+                "true e2e frames/sec. single_dispatch_fps is config 5's "
+                "one-frame-per-dispatch rate from the same sweep; latency "
+                "mixes lanes (queueing delay is the deliberate trade; "
+                "CUAUV_YOLO_LATEST_ONLY restores latest-wins)"
+            ),
+        )
+    finally:
+        stop(mod, zed)
+
+
 def _last_committed_sweep() -> list:
     """Last-known-good metrics for the wedged-transport path, each marked
     ``stale: true``. Prefers the HEAD-committed BENCH_RESULTS.json (the
@@ -1741,6 +1825,11 @@ def main() -> None:
         "2": ("config 2: gate localization", config2_gate_video, CONFIG_CAP_S),
         "3": ("config 3: bins + sift pose", config3_bins, CONFIG_CAP_S),
         "4": ("config 4: preprocess chain", config4_preprocess_chain, CONFIG_CAP_S),
+        "8": (
+            "config 5b: yolo batch=8 saturated throughput",
+            config5b_yolo_batch_throughput,
+            CONFIG_CAP_S,
+        ),
     }
     t_start = time.monotonic()
     for key in CONFIGS:

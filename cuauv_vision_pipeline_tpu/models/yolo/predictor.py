@@ -320,10 +320,12 @@ class YoloModel:
         core/base.py) as ONE K-batch conv stack through the MXU. Every
         leaf of the returned decode dict gains a leading lane axis.
 
-        This is the MXU-amortization twin of ``device_decode_multi``
-        (N *different* cameras): yolo-n at batch 1 fills ~10-20% of the
-        128x128 systolic array (BENCH_NOTES speed-of-light section);
-        batching over the conv batch dim is the lever that raises it.
+        This is the round-trip-amortization twin of ``device_decode_multi``
+        (N *different* cameras). Measured: per-frame device compute RISES
+        ~2x at batch 8 (0.375 -> 0.747 ms — the 640^2 convs already fill
+        the MXU at batch 1), so the win is K frames per dispatch/fetch
+        round trip, which pays exactly where the round trip dominates
+        (high-RTT links); see ``device_step_yolo_batch8_720p_ms``.
         """
         import jax
 

@@ -126,10 +126,13 @@ class Yolo(ModuleBase, HandlerMixin):
     # extra fetch interval of latency for no throughput gain).
     # CUAUV_YOLO_BATCH=K (default 1) turns on queue-depth batching: when
     # the module falls behind, up to K drained frames run as ONE K-batch
-    # conv stack — yolo-n at batch 1 fills ~10-20% of the MXU, so lanes
-    # are nearly free (device_step_yolo_batch8 in bench.py). vmap mode:
-    # unlike the red_buoy chain there is no VMEM-hungry custom call, and
-    # map would serialize the convs, forfeiting the MXU amortization.
+    # conv stack. Measured (device_step_yolo_batch8 in bench.py): batch=8
+    # costs ~2x per-frame device compute (0.375 -> 0.747 ms — at 640^2 the
+    # convs already fill the MXU at batch 1), but the tick drains K frames
+    # per device round trip, so it multiplies e2e throughput wherever the
+    # round trip dominates the step (high-RTT links). Keep 1 on PCIe-class
+    # hosts. vmap mode: no VMEM-hungry custom call in this chain, and map
+    # would serialize the convs.
     # CUAUV_YOLO_LATEST_ONLY=M instead drops stale frames beyond a
     # backlog of M (the reference's latest-wins, cmf.cpp:423).
     @device_fn(
