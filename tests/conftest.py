@@ -16,9 +16,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# CPU-backend compile time dominates the suite (a pico YOLO init is ~40 s at
+# the default opt level, ~18 s at 0); correctness is unchanged — the
+# bit-exact goldens (256^3 colorspaces, Canny, Gaussian) pass at level 0,
+# which disables backend fusion heuristics, not IEEE semantics.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

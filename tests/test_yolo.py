@@ -158,6 +158,7 @@ def test_predictor_end_to_end_random_weights():
         assert "track_id" in r
 
 
+@pytest.mark.slow
 def test_device_decode_batch_matches_single():
     """device_decode_batch ([K,H,W,3] -> ONE K-batch conv stack, the
     CUAUV_YOLO_BATCH dispatch shape) produces the same decode per lane as
@@ -505,6 +506,7 @@ def test_pt_pose_custom_keypoint_count(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_empty_checkpoint_names_fall_back(tmp_path):
     """A checkpoint whose meta stores names=[] (what a .pt without
     embedded names produces) must not override the caller's class_names —
@@ -811,6 +813,7 @@ def test_fused_letterbox_preamble_matches_preprocess():
         assert frac < 1e-3, f"{shape}: {frac:.2e} of pixels differ"
 
 
+@pytest.mark.slow
 def test_w8a8_quantized_forward_parity():
     """quantize="w8a8" (int8 x int8 MXU convs via the nn.Conv interceptor,
     dynamic activation scales): detections on the same image match the
@@ -866,6 +869,7 @@ def test_w8a8_interceptor_respects_dilation():
     assert np.abs(np.asarray(got) - np.asarray(und)).max() > 0.1 * scale
 
 
+@pytest.mark.slow
 def test_pose_pt_roundtrip_custom_nk(tmp_path):
     """A pose .pt with a custom keypoint count (nk=4 AUV targets, not
     COCO's 17) round-trips: task inferred from the 3*nk-wide cv4 branch,

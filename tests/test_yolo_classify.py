@@ -21,6 +21,7 @@ from cuauv_vision_pipeline_tpu.models.yolo.weights import (  # noqa: E402
 SIZE = 96
 
 
+@pytest.mark.slow
 def test_classify_forward_and_roundtrip():
     model, variables = create_model(7, size="p", task="classify", image_size=SIZE)
     out = model.apply(variables, jnp.zeros((2, SIZE, SIZE, 3), jnp.float32))
@@ -85,6 +86,7 @@ def test_classify_pt_inference_and_serving(tmp_path):
     assert res[0].summary() == m.predict(frame)
 
 
+@pytest.mark.slow
 def test_classify_train_step_learns():
     import optax
 

@@ -179,6 +179,7 @@ def test_predictor_segment_serving():
             assert np.isfinite(v)
 
 
+@pytest.mark.slow
 def test_segment_train_step_learns_masks():
     """A few optimizer steps on one fixed scene drive the mask loss down
     and the decoded mask toward the gt rectangle (the coefficients + proto
@@ -228,6 +229,7 @@ def test_segment_train_step_learns_masks():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_segment_multicam_batched_matches_single():
     """device_decode_multi (N cameras, one batched MXU dispatch) carries
     the mask leaves with a leading camera axis and agrees with the

@@ -64,6 +64,7 @@ def test_pose_scene_contract():
     np.testing.assert_allclose(k[:, 2, 0], cx + r, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_obb_train_step_learns_angle():
     model, variables = create_model(1, size="p", task="obb", image_size=S)
     state, tx = create_train_state(model, variables, learning_rate=3e-3)
@@ -88,6 +89,7 @@ def test_obb_train_step_learns_angle():
     assert after < before, (before, after)
 
 
+@pytest.mark.slow
 def test_pose_train_step_learns_keypoints():
     model, variables = create_model(
         1, size="p", task="pose", image_size=S, num_keypoints=5
