@@ -1648,10 +1648,11 @@ def config5b_yolo_batch_throughput() -> None:
         wait_counter(
             lambda: grp.seq, WARM_S, "yolo batched detections", min_advance=80
         )
-        fps, lats = measure_counter(
+        fps, lats, lanes = measure_counter(
             lambda: grp.seq,
             lambda: grp.latency_ms.get(),
             seconds=max(MEASURE_S, 15),
+            sample_latency2=lambda: float(grp.lanes.get()),
         )
         single = next(
             (
@@ -1667,6 +1668,10 @@ def config5b_yolo_batch_throughput() -> None:
             "frames/sec",
             p50_latency_ms=round(p50(lats), 1),
             n_samples=len(lats),
+            mean_lanes_per_dispatch=(
+                round(sum(lanes) / len(lanes), 2) if lanes else None
+            ),
+            latency_newest_ms=round(float(grp.latency_newest_ms.get()), 1),
             single_dispatch_fps=single,
             amortization_x=(round(fps / single, 2) if single else None),
             note=(
@@ -1675,7 +1680,11 @@ def config5b_yolo_batch_throughput() -> None:
                 "true e2e frames/sec. single_dispatch_fps is config 5's "
                 "one-frame-per-dispatch rate from the same sweep; latency "
                 "mixes lanes (queueing delay is the deliberate trade; "
-                "CUAUV_YOLO_LATEST_ONLY restores latest-wins)"
+                "CUAUV_YOLO_LATEST_ONLY restores latest-wins). On this "
+                "tunnel the per-tick cost is H2D-byte-bound (~13 MB/s "
+                "measured: 8 lanes = 22 MB ~ 1 s/tick), so amortization is "
+                "capped well below K; on a PCIe-class link H2D is sub-ms "
+                "and the round trip being amortized is latency, not bytes"
             ),
         )
     finally:

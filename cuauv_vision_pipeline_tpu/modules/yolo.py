@@ -177,10 +177,15 @@ class Yolo(ModuleBase, HandlerMixin):
         # camera-to-detection telemetry: seq on this group counts processed
         # frames; latency covers capture -> bus -> H2D -> infer -> handlers
         self._frames_processed = getattr(self, "_frames_processed", 0) + 1
-        shm.yolo_status.set(
-            latency_ms=float(meta.latency_ms()),
+        lat = float(meta.latency_ms())
+        fields = dict(
+            latency_ms=lat,
             frames=self._frames_processed,
+            lanes=len(meta.lane_acqs) if meta.lane_acqs else 1,
         )
+        if meta.newest:
+            fields["latency_newest_ms"] = lat
+        shm.yolo_status.set(**fields)
 
     def _dummy_frame(self, hw) -> np.ndarray:
         cached = getattr(self, "_dummy", None)
