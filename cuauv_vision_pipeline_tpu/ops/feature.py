@@ -357,31 +357,58 @@ def describe_at(
     grid rotates with the keypoint — gradient vectors bilinearly resampled
     at the rotated coordinates and re-expressed in the keypoint frame.
 
+    The oriented path is patch-local: ONE contiguous 24x24 slice of
+    gx/gy per keypoint, then every resampling step is dense arithmetic
+    on [K, ...] blocks with the bilinear taps expressed as factored
+    one-hot contractions on the MXU. (The first version bilinearly
+    gathered the FULL-image gradient fields — 512 kp x 256 samples x
+    4 taps x 2 fields of random HBM gathers, 14.5 ms/frame at 720p and
+    77%% of the bins pose-chain step; the patch-local form measures
+    <1 ms. Random gathers from large HBM operands are the single worst
+    op class on TPU — keep gathers small and contiguous.)
+
     gray [H, W] -> des [K, 128] float32 (rows L2-unit or zero)."""
     g = gray.astype(jnp.float32)
     H, W = g.shape
     gx, gy = _sobel_3x3(g)
-    mag = jnp.hypot(gx, gy)
-    ang = jnp.arctan2(gy, gx) % (2 * np.pi)
-    bins = jnp.floor(ang / (np.pi / 4)).astype(jnp.int32) % 8
 
     # oriented sampling reaches 7.5*sqrt(2)+1 ~ 11.6 px; clamp keypoints
     # far enough in that no rotated sample lands on edge-replicated rows
     b = 12 if oriented else _DESC_BORDER
     ys = jnp.clip(ys, b, H - b - 1)
     xs = jnp.clip(xs, b, W - b - 1)
-    b = _DESC_BORDER  # patch extraction itself stays 16x16
-
-    # gather the small mag/bin patches first, THEN one-hot: [K, 16, 16, 8]
-    # instead of materializing an [H, W, 8] orientation field
-    def one_axis_aligned(y, x):
-        m = jax.lax.dynamic_slice(mag, (y - b, x - b), (16, 16))
-        a = jax.lax.dynamic_slice(bins, (y - b, x - b), (16, 16))
-        patch = jax.nn.one_hot(a, 8, dtype=jnp.float32) * m[..., None]
-        return _normalize_desc(patch.reshape(4, 4, 4, 4, 8).sum(axis=(1, 3)))
+    b = _DESC_BORDER  # axis-aligned patch extraction stays 16x16
 
     if not oriented:
+        mag = jnp.hypot(gx, gy)
+        ang = jnp.arctan2(gy, gx) % (2 * np.pi)
+        bins = jnp.floor(ang / (np.pi / 4)).astype(jnp.int32) % 8
+
+        # gather the small mag/bin patches first, THEN one-hot:
+        # [K, 16, 16, 8] instead of materializing an [H, W, 8] field
+        def one_axis_aligned(y, x):
+            m = jax.lax.dynamic_slice(mag, (y - b, x - b), (16, 16))
+            a = jax.lax.dynamic_slice(bins, (y - b, x - b), (16, 16))
+            patch = jax.nn.one_hot(a, 8, dtype=jnp.float32) * m[..., None]
+            return _normalize_desc(
+                patch.reshape(4, 4, 4, 4, 8).sum(axis=(1, 3))
+            )
+
         return jax.vmap(one_axis_aligned)(ys, xs)
+
+    # one contiguous gradient patch per keypoint: [K, 2, 24, 24] covers
+    # the full rotated reach (7.5*sqrt(2)+1 ~ 11.6 < 12) around each
+    # keypoint, so every bilinear tap below indexes the patch, never the
+    # full image
+    P_SZ, P_HALF = 24, 12
+    gxy = jnp.stack([gx, gy])  # [2, H, W]
+
+    def _patch(y, x):
+        return jax.lax.dynamic_slice(
+            gxy, (0, y - P_HALF, x - P_HALF), (2, P_SZ, P_SZ)
+        )
+
+    pg = jax.vmap(_patch)(ys, xs)  # [K, 2, 24, 24]
 
     # rotated sampling grid, shared by every keypoint
     off = jnp.arange(16, dtype=jnp.float32) - 7.5
@@ -410,79 +437,92 @@ def describe_at(
         -(gy_off.reshape(-1) ** 2 + gx_off.reshape(-1) ** 2) / (2.0 * 8.0**2)
     )  # [256]
 
-    def bilinear(field, yy, xx):
-        y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, H - 2)
-        x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, W - 2)
-        wy = jnp.clip(yy - y0.astype(jnp.float32), 0.0, 1.0)
-        wx = jnp.clip(xx - x0.astype(jnp.float32), 0.0, 1.0)
-        v00 = field[y0, x0]
-        v01 = field[y0, x0 + 1]
-        v10 = field[y0 + 1, x0]
-        v11 = field[y0 + 1, x0 + 1]
+    # 36-bin dominant orientation over the axis-aligned central 16x16 of
+    # each patch (identical values to slicing the full-image mag/ang:
+    # the patch is an exact window of the same gradient fields)
+    pm = jnp.hypot(pg[:, 0], pg[:, 1])  # [K, 24, 24]
+    pa = jnp.arctan2(pg[:, 1], pg[:, 0]) % (2 * np.pi)
+    lo, hi = P_HALF - b, P_HALF + b  # central 16x16
+    m16 = pm[:, lo:hi, lo:hi]
+    a16 = pa[:, lo:hi, lo:hi]
+    h36 = (
+        jax.nn.one_hot(
+            jnp.floor(a16 / (2 * np.pi / 36)).astype(jnp.int32) % 36,
+            36,
+            dtype=jnp.float32,
+        )
+        * m16[..., None]
+    ).sum(axis=(1, 2))  # [K, 36]
+    k = jnp.argmax(h36, axis=1)  # [K]
+
+    # parabolic peak interpolation: the raw 10-degree bin quantization
+    # leaves up to a bin of error between the template's and the scene's
+    # theta, smearing descriptor cells
+    def _h_at(off_k):
+        return jnp.take_along_axis(
+            h36, ((k + off_k) % 36)[:, None], axis=1
+        )[:, 0]
+
+    hm, h0, hp = _h_at(-1), _h_at(0), _h_at(1)
+    denom = hm - 2.0 * h0 + hp
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (hm - hp) / denom, 0.0)
+    theta = (k.astype(jnp.float32) + 0.5 + jnp.clip(delta, -0.5, 0.5)) * (
+        2 * np.pi / 36
+    )  # [K]
+    c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]  # [K, 1]
+
+    # descriptor grid rotated by +theta around the keypoint (the SAME
+    # direction the content rotated: scene = template rotated by alpha
+    # gives theta_s = theta_t + alpha, and sampling at R(+theta_s)o
+    # lands on the template's R(+theta_t)o — gradients then differ by
+    # exactly alpha, cancelled by the -theta angle correction below),
+    # expressed in PATCH coordinates (origin = keypoint - P_HALF)
+    fx = gx_off.reshape(-1)[None, :]  # [1, 256]
+    fy = gy_off.reshape(-1)[None, :]
+    lx = P_HALF + fx * c - fy * s  # [K, 256], in [1.4, 22.6]
+    ly = P_HALF + fx * s + fy * c
+
+    # bilinear resampling as a factored one-hot contraction: the two taps
+    # along each axis become a [K, 256, 24] weight matrix, and the sample
+    # is sum_rc wy*wx*patch — two tiny batched matmuls on the MXU instead
+    # of 4-tap random gathers. HIGHEST precision keeps the contraction in
+    # f32 (default TPU matmul precision is bf16; these matmuls are ~150
+    # MFLOP total, so exactness is free).
+    def _axis_w(coord):
+        c0 = jnp.floor(coord)
+        f = coord - c0
+        i0 = jnp.clip(c0, 0, P_SZ - 2).astype(jnp.int32)
         return (
-            v00 * (1 - wy) * (1 - wx)
-            + v01 * (1 - wy) * wx
-            + v10 * wy * (1 - wx)
-            + v11 * wy * wx
-        )
+            jax.nn.one_hot(i0, P_SZ, dtype=jnp.float32)
+            * (1.0 - f)[..., None]
+            + jax.nn.one_hot(i0 + 1, P_SZ, dtype=jnp.float32)
+            * f[..., None]
+        )  # [K, 256, 24]
 
-    def one_oriented(y, x):
-        # 36-bin dominant orientation over the axis-aligned patch
-        m = jax.lax.dynamic_slice(mag, (y - b, x - b), (16, 16))
-        a = jax.lax.dynamic_slice(ang, (y - b, x - b), (16, 16))
-        h36 = (
-            jax.nn.one_hot(
-                jnp.floor(a / (2 * np.pi / 36)).astype(jnp.int32) % 36,
-                36,
-                dtype=jnp.float32,
-            )
-            * m[..., None]
-        ).sum(axis=(0, 1))
-        k = jnp.argmax(h36)
-        # parabolic peak interpolation: the raw 10-degree bin quantization
-        # leaves up to a bin of error between the template's and the
-        # scene's theta, smearing descriptor cells
-        hm = h36[(k - 1) % 36]
-        h0 = h36[k]
-        hp = h36[(k + 1) % 36]
-        denom = hm - 2.0 * h0 + hp
-        delta = jnp.where(
-            jnp.abs(denom) > 1e-9, 0.5 * (hm - hp) / denom, 0.0
-        )
-        theta = (k.astype(jnp.float32) + 0.5 + jnp.clip(delta, -0.5, 0.5)) * (
-            2 * np.pi / 36
-        )
-        c, s = jnp.cos(theta), jnp.sin(theta)
-        # descriptor grid rotated by +theta around the keypoint (the SAME
-        # direction the content rotated: scene = template rotated by alpha
-        # gives theta_s = theta_t + alpha, and sampling at R(+theta_s)o
-        # lands on the template's R(+theta_t)o — gradients then differ by
-        # exactly alpha, cancelled by the -theta angle correction below)
-        rx = x.astype(jnp.float32) + gx_off * c - gy_off * s
-        ry = y.astype(jnp.float32) + gx_off * s + gy_off * c
-        sgx = bilinear(gx, ry, rx)
-        sgy = bilinear(gy, ry, rx)
-        smag = (jnp.hypot(sgx, sgy).reshape(-1) * gauss)  # [256]
-        rel = (jnp.arctan2(sgy, sgx).reshape(-1) - theta) % (2 * np.pi)
-        # SOFT orientation binning (SIFT-style linear interpolation
-        # between the two adjacent bins): hard binning is unstable for
-        # gradients on bin edges — axis-aligned edges (0/90 degrees) are
-        # exactly there, so resampling noise flips their whole mass
-        # between bins 0 and 7
-        pos = rel / (np.pi / 4) - 0.5  # bin centers at k+0.5
-        k0 = jnp.floor(pos)
-        w1 = pos - k0
-        k0i = k0.astype(jnp.int32) % 8
-        k1i = (k0i + 1) % 8
-        w_o = (
-            jax.nn.one_hot(k0i, 8, dtype=jnp.float32) * (1.0 - w1)[:, None]
-            + jax.nn.one_hot(k1i, 8, dtype=jnp.float32) * w1[:, None]
-        )  # [256, 8]
-        # trilinear accumulation: desc[cy, cx, b] = sum_s m*wy*wx*wo
-        d = jnp.einsum("s,sy,sx,sb->yxb", smag, w_cy, w_cx, w_o)
-        return _normalize_desc(d)
-
-    return jax.vmap(one_oriented)(ys, xs)
+    wy_t = _axis_w(ly)
+    wx_t = _axis_w(lx)
+    hp_ = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("ksr,kfrc->kfsc", wy_t, pg, precision=hp_)
+    samp = jnp.einsum("kfsc,ksc->kfs", tmp, wx_t, precision=hp_)
+    sgx, sgy = samp[:, 0], samp[:, 1]  # [K, 256]
+    smag = jnp.hypot(sgx, sgy) * gauss[None, :]
+    rel = (jnp.arctan2(sgy, sgx) - theta[:, None]) % (2 * np.pi)
+    # SOFT orientation binning (SIFT-style linear interpolation between
+    # the two adjacent bins): hard binning is unstable for gradients on
+    # bin edges — axis-aligned edges (0/90 degrees) are exactly there, so
+    # resampling noise flips their whole mass between bins 0 and 7
+    pos = rel / (np.pi / 4) - 0.5  # bin centers at k+0.5
+    k0 = jnp.floor(pos)
+    w1 = pos - k0
+    k0i = k0.astype(jnp.int32) % 8
+    k1i = (k0i + 1) % 8
+    w_o = (
+        jax.nn.one_hot(k0i, 8, dtype=jnp.float32) * (1.0 - w1)[..., None]
+        + jax.nn.one_hot(k1i, 8, dtype=jnp.float32) * w1[..., None]
+    )  # [K, 256, 8]
+    # trilinear accumulation: desc[k, cy, cx, b] = sum_s m*wy*wx*wo
+    d = jnp.einsum("ks,sy,sx,ksb->kyxb", smag, w_cy, w_cx, w_o)
+    return jax.vmap(_normalize_desc)(d)
 
 
 def detect_describe(
@@ -531,7 +571,43 @@ def detect_describe(
     inside = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
     peaks = (resp >= mx) & (resp > jnp.max(resp) * quality) & inside
     score = jnp.where(peaks, resp, -jnp.inf)
-    vals, flat = jax.lax.top_k(score.reshape(-1), max_keypoints)
+
+    # two-stage top-k: per-tile top-32 over 32x32 tiles, then a global
+    # top-k over the ~29k survivors — a single lax.top_k over the whole
+    # frame is one big sort (1.16 ms/frame at 720p, measured); the tiled
+    # form sorts 1024-element rows in parallel. Points with pairwise
+    # euclidean distance >= min_distance pack at most ~28 into a 32x32
+    # tile, so 32 slots keep every candidate the greedy suppression below
+    # could possibly retain; what the tile stage can drop are members of
+    # EXACT-response tie clusters closer than min_distance (which greedy
+    # would kill all-but-one of anyway) — selection within such a tie
+    # cluster may differ from the single-sort form, nothing else can.
+    T = 32
+    TK = 32  # per-tile slots
+    Hp = -(-H // T) * T
+    Wp = -(-W // T) * T
+    n_tiles = (Hp // T) * (Wp // T)
+    # the tile stage is only lossless while TK covers the densest packing
+    # of min_distance-spaced points in a tile (and only meaningful when
+    # the image is big enough to feed the global stage)
+    if (T // max(min_distance, 1) + 1) ** 2 <= TK and (
+        n_tiles * TK >= max_keypoints
+    ):
+        sp = jnp.pad(
+            score, ((0, Hp - H), (0, Wp - W)), constant_values=-jnp.inf
+        )
+        tiles = sp.reshape(Hp // T, T, Wp // T, T).transpose(0, 2, 1, 3)
+        tiles = tiles.reshape(-1, T * T)  # [n_tiles, 1024]
+        tv, tf = jax.lax.top_k(tiles, TK)  # per-tile values + offsets
+        # tile-local flat offset -> global flat index over [H, W]
+        t_idx = jnp.arange(n_tiles)
+        trow = (t_idx // (Wp // T))[:, None] * T + tf // T
+        tcol = (t_idx % (Wp // T))[:, None] * T + tf % T
+        gflat = trow * W + tcol  # may index padding; value is -inf there
+        vals, sub = jax.lax.top_k(tv.reshape(-1), max_keypoints)
+        flat = gflat.reshape(-1)[sub]
+    else:
+        vals, flat = jax.lax.top_k(score.reshape(-1), max_keypoints)
     ys = flat // W
     xs = flat % W
     cand = jnp.isfinite(vals)
@@ -540,25 +616,49 @@ def detect_describe(
     # semantics as find_corners' host loop): the window NMS above passes
     # BOTH members of an exact response tie (plateaus in flat-ish scenes),
     # so a candidate is kept only if no stronger kept candidate is within
-    # min_distance. O(K^2) as a scan over the K candidates — trivial next
-    # to the image-sized passes.
+    # min_distance. Solved as a parallel fixpoint over the [K, K]
+    # conflict matrix instead of a K-step sequential scan (the scan form
+    # cost 2.05 ms/frame in per-iteration loop overhead alone, measured):
+    # each round decides every candidate whose stronger conflicts are all
+    # decided, so rounds = depth of the conflict DAG (a handful), and the
+    # result is exactly the sequential greedy set (equivalence
+    # property-tested against the sequential form in tests).
     pts = jnp.stack([ys, xs], axis=1).astype(jnp.float32)
     min_d2 = jnp.float32(min_distance * min_distance)
     idx_k = jnp.arange(max_keypoints)
+    d2_kk = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    # conflicts[i, j]: candidate j is stronger (earlier) and too close
+    conflicts = (
+        (d2_kk < min_d2) & (idx_k[None, :] < idx_k[:, None]) & cand[None, :]
+    )
 
-    def step(kept, i):
-        d2 = jnp.sum((pts[i] - pts) ** 2, axis=1)
-        clash = jnp.any(kept & (d2 < min_d2))
-        keep_i = cand[i] & ~clash
-        return kept.at[i].set(keep_i), None
+    def _undecided(state):
+        kept_, killed_ = state
+        return jnp.any(cand & ~kept_ & ~killed_)
 
-    # init carry derived from traced data (cand & False == all-False) so
-    # its varying-axes type matches the body's output under shard_map
-    kept, _ = jax.lax.scan(step, cand & False, idx_k)
-    # compact kept rows to the front, preserving strongest-first order
-    order = jnp.argsort(~kept, stable=True)
+    def _round(state):
+        kept_, killed_ = state
+        undec = cand & ~kept_ & ~killed_
+        newly_kept = undec & ~jnp.any(conflicts & ~killed_[None, :], axis=1)
+        kept_ = kept_ | newly_kept
+        newly_killed = (undec & ~newly_kept) & jnp.any(
+            conflicts & kept_[None, :], axis=1
+        )
+        return kept_, killed_ | newly_killed
+
+    # init carries derived from traced data (cand & False == all-False) so
+    # their varying-axes types match the body's output under shard_map
+    kept, _ = jax.lax.while_loop(
+        _undecided, _round, (cand & False, cand & False)
+    )
+    # compact kept rows to the front, preserving strongest-first order:
+    # a cumsum-addressed scatter, not a sort
+    n_valid = jnp.sum(kept.astype(jnp.int32))
+    pos = jnp.where(
+        kept, jnp.cumsum(kept) - 1, n_valid + jnp.cumsum(~kept) - 1
+    )
+    order = jnp.zeros(max_keypoints, jnp.int32).at[pos].set(idx_k)
     ys, xs, valid = ys[order], xs[order], kept[order]
-    n_valid = jnp.sum(valid.astype(jnp.int32))
 
     des = describe_at(g, ys, xs, oriented=oriented)
     des = jnp.where(valid[:, None], des, 0.0)
