@@ -1095,10 +1095,15 @@ class ModuleBase(ABC):
 
     def _discover_device_fn(
         self, logger: Logger
-    ) -> Optional[Tuple[Callable, Tuple[str, ...], int, bool, int, Optional[int]]]:
-        """Find the module's @device_fn method (at most one)."""
+    ) -> Optional[
+        Tuple[Callable, Tuple[str, ...], int, bool, int, str, Optional[int]]
+    ]:
+        """Find the module's @device_fn method (at most one).
+
+        Returns (fn, aliases, depth, async_fetch, batch, batch_mode,
+        latest_only) or None."""
         found: Optional[
-            Tuple[Callable, Tuple[str, ...], int, bool, int, Optional[int]]
+            Tuple[Callable, Tuple[str, ...], int, bool, int, str, Optional[int]]
         ] = None
         for attr_name in dir(self):
             try:

@@ -101,8 +101,13 @@ def load_checkpoint(path: str) -> Tuple[YOLO, Dict, Dict]:
         num_keypoints=meta.get("num_keypoints", 17),
         num_masks=meta.get("num_masks", 32),
     )
-    with open(path, "rb") as fh:
-        variables = serialization.from_bytes(variables, fh.read())
+    try:
+        with open(path, "rb") as fh:
+            variables = serialization.from_bytes(variables, fh.read())
+    except Exception as exc:
+        raise RuntimeError(
+            f"failed to read YOLO weight file '{path}': {exc}"
+        ) from exc
     return model, variables, meta
 
 

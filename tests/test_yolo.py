@@ -443,6 +443,23 @@ def test_load_pt_checkpoint_via_torch(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_corrupted_checkpoint_error_names_path(tmp_path):
+    """A truncated/garbage weight file must fail with an error that NAMES
+    the offending path — the operator's first question is always 'which
+    file?'. Covers both the torch .pt path and the flax msgpack path."""
+    from cuauv_vision_pipeline_tpu.models.yolo.weights import load_checkpoint
+
+    bad_pt = tmp_path / "corrupt_obb.pt"
+    bad_pt.write_bytes(b"\x00not a zipfile, not a pickle\xff" * 8)
+    with pytest.raises(RuntimeError, match="corrupt_obb.pt"):
+        load_checkpoint(str(bad_pt))
+
+    bad_msgpack = tmp_path / "corrupt_flax.ckpt"
+    bad_msgpack.write_bytes(b"\xc1garbage that is not msgpack" * 4)
+    with pytest.raises(RuntimeError, match="corrupt_flax.ckpt"):
+        load_checkpoint(str(bad_msgpack))
+
+
 @pytest.mark.slow
 def test_pt_task_from_train_args_and_structure(tmp_path):
     """Real ultralytics exports keep task in ckpt['train_args'], not the
