@@ -9,11 +9,17 @@ Emits one JSON metric line per config to stdout; the headline
 the 2,000 fps/chip target, BASELINE.md) is emitted first AND re-printed as
 the final line. All lines are also written to BENCH_RESULTS.json.
 
-Ordering rationale (round-2 verdict): the driver's capture of round 2 was
-rc=124 because the headline ran last and the timeout killed it. Now the
-headline runs before anything that can burn the window, every config has a
-hard wall-clock cap (SIGALRM), and the whole sweep fits
-BENCH_TIME_BUDGET_S by construction.
+Ordering rationale (round-2/3 verdicts): the driver's wall clock has
+killed two sweeps mid-run (rc=124), so the sweep is TWO-PASS: the
+headline, then a QUICK pass over all five acceptance configs (short
+settle, adaptive stable windows, lines marked pass:"quick", degraded
+zero-line with warm-up progress if a cap fires) so the tail holds a
+number for every flagship metric early no matter where a kill lands;
+micro-benches + derived budgets next; then the FULL pass re-measures
+each config with the long windows — by then the quick pass has populated
+the XLA persistent cache, so full-pass module subprocesses load their
+chain executables instead of recompiling. Every step has a hard
+wall-clock cap (SIGALRM) inside the whole-run BENCH_TIME_BUDGET_S.
 
 Harness context: the chip here is tunnel-attached (H2D of a 6 MB frame and
 every blocking readback pay a ~100-300 ms RTT), so end-to-end topology
@@ -56,9 +62,27 @@ WARM_S = float(os.environ.get("BENCH_WARM_S", "1500"))
 SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
 BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
 CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "700"))
+# two-pass sweep (round-3 verdict): QUICK pass first — every topology
+# config with a short settle and an adaptive stable-window measurement,
+# each line marked pass:"quick" — so the driver tail holds a number for
+# the headline AND all five configs within the first part of the window
+# no matter where its kill lands; the FULL pass then re-runs each config
+# with the long windows and overwrites. The quick pass doubles as the
+# XLA-persistent-cache pre-warm: the full pass's module subprocesses load
+# every chain executable (incl. per-lane-count variants) from .jax_cache
+# instead of recompiling.
 CONFIGS = os.environ.get(
-    "BENCH_CONFIGS", "h,s,d,t,b,y,r,p,1,5,2,3,4,8"
+    "BENCH_CONFIGS", "h,q1,q5,q2,q3,q4,s,d,t,b,y,r,p,1,5,2,3,4,8"
 ).split(",")
+QUICK = False  # True while a q* step runs (emit marks + short windows)
+QUICK_SETTLE_S = float(os.environ.get("BENCH_QUICK_SETTLE_S", "5"))
+QUICK_WINDOW_S = float(os.environ.get("BENCH_QUICK_WINDOW_S", "6"))
+# quick caps must cover a COLD module-chain compile (measured live this
+# round: red_buoy's chain + lane variants reach first results ~420 s
+# after spawn on a cold cache)
+QUICK_CAP_S = float(os.environ.get("BENCH_QUICK_CAP_S", "640"))
+# last observed warm-up/measure state, for degraded emission on timeout
+LAST_PROGRESS: dict = {}
 
 # PCIe-class link model for the derived budgets: effective pinned-host
 # bandwidth + fixed per-transfer overhead (dispatch + completion). 8 GB/s
@@ -78,7 +102,12 @@ def log(msg: str) -> None:
 
 def emit(metric: str, value, unit: str, **extra) -> None:
     line = {"metric": metric, "value": value, "unit": unit}
+    if QUICK:
+        line["pass"] = "quick"
     line.update(extra)
+    # the full pass REFINES the quick pass: one line per metric in the
+    # results file, newest wins (stdout keeps both — the tail is a log)
+    RESULTS[:] = [r for r in RESULTS if r.get("metric") != metric]
     RESULTS.append(line)
     print(json.dumps(line), flush=True)
     # persist incrementally (a hard-killed run still leaves its metrics),
@@ -215,6 +244,10 @@ class PostWatch:
 
         end = time.monotonic() + deadline_s
         found = None
+        LAST_PROGRESS.clear()
+        LAST_PROGRESS.update(
+            what=f"post block '{name_substr}'", stage="discover"
+        )
         while time.monotonic() < end:
             hits = [
                 p
@@ -249,12 +282,15 @@ class PostWatch:
 def measure_counter(
     read_count,
     sample_latency=None,
-    seconds: float = MEASURE_S,
+    seconds: float = None,
     sample_latency2=None,
 ):
     """Rate of a monotonic counter + optional latency samples on change.
     ``sample_latency2`` collects a second series (e.g. newest-lane-only
     latency) at the same instants; returns (rate, lats[, lats2])."""
+    if seconds is None:
+        seconds = MEASURE_S
+    LAST_PROGRESS.update(stage="measure", window_s=seconds)
     c0 = read_count()
     t0 = time.monotonic()
     last = c0
@@ -288,11 +324,20 @@ def wait_counter(read_count, deadline_s: float, what: str, min_advance: int = 3)
     penalty (stale camera stamps, trickle rate) and would poison a window
     that starts immediately."""
     c0 = read_count()
-    end = time.monotonic() + deadline_s
+    t0 = time.monotonic()
+    end = t0 + deadline_s
+    settle = QUICK_SETTLE_S if QUICK else SETTLE_S
+    LAST_PROGRESS.clear()
+    LAST_PROGRESS.update(what=what, stage="warm", advances=0, elapsed_s=0.0)
     while time.monotonic() < end:
-        if read_count() - c0 >= min_advance:
-            log(f"{what}: flowing; settling {SETTLE_S:.0f}s before measuring")
-            time.sleep(SETTLE_S)
+        adv = read_count() - c0
+        LAST_PROGRESS.update(
+            advances=int(adv), elapsed_s=round(time.monotonic() - t0, 1)
+        )
+        if adv >= min_advance:
+            log(f"{what}: flowing; settling {settle:.0f}s before measuring")
+            LAST_PROGRESS.update(stage="settle")
+            time.sleep(settle)
             return
         time.sleep(0.25)
     raise TimeoutError(f"no progress on {what} within {deadline_s:.0f}s")
@@ -300,6 +345,47 @@ def wait_counter(read_count, deadline_s: float, what: str, min_advance: int = 3)
 
 def p50(xs) -> float:
     return float(statistics.median(xs)) if xs else float("nan")
+
+
+def measure_cfg(
+    read_count,
+    sample_latency=None,
+    seconds: float = None,
+    sample_latency2=None,
+):
+    """Config measurement window, quick-pass aware.
+
+    Full pass: one plain measure_counter window. Quick pass: the module's
+    background lane-trace compiles are usually still running when the
+    warm gate opens (observed live: a 5 s window right after first results
+    reads 0.0 fps because every dispatch is stuck behind a remote compile),
+    so take short windows repeatedly until two consecutive ones agree
+    within ~2x (steady flow) or the attempts run out, and report the last
+    window. Quick numbers are precision-degraded by construction — the
+    stability gate just keeps them from being compile-artifacts."""
+    if not QUICK:
+        return measure_counter(
+            read_count, sample_latency, seconds, sample_latency2
+        )
+    prev_rate = None
+    out = None
+    for attempt in range(10):
+        out = measure_counter(
+            read_count, sample_latency, QUICK_WINDOW_S, sample_latency2
+        )
+        rate = out[0]
+        LAST_PROGRESS.update(
+            stage="quick-measure", attempt=attempt, rate=round(rate, 2)
+        )
+        if (
+            prev_rate is not None
+            and rate > 0
+            and prev_rate > 0
+            and 0.5 <= rate / prev_rate <= 2.0
+        ):
+            break
+        prev_rate = rate
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1331,7 +1417,7 @@ def config1_red_buoy_e2e() -> None:
     try:
         grp = shm.red_buoy_results
         wait_counter(lambda: grp.seq, WARM_S, "red_buoy results")
-        fps, lats, newest = measure_counter(
+        fps, lats, newest = measure_cfg(
             lambda: grp.seq,
             lambda: grp.latency_ms.get(),
             sample_latency2=lambda: grp.latency_newest_ms.get(),
@@ -1390,7 +1476,7 @@ def config2_gate_video() -> None:
         grp = shm.yolo_gate
         watch = PostWatch("GateDetector", WARM_S)
         wait_counter(watch.uid, 60, "gate posts")
-        fps, lats = measure_counter(watch.uid, watch.sample_latency_ms)
+        fps, lats = measure_cfg(watch.uid, watch.sample_latency_ms)
         gate_writes, _ = measure_counter(lambda: grp.seq, seconds=4)
         g = grp.get()
         watch.close()
@@ -1446,7 +1532,7 @@ def config3_bins() -> None:
         grp = shm.bins_pose
         watch = PostWatch("BinDetector", WARM_S)
         wait_counter(watch.uid, 60, "bins posts")
-        fps, lats = measure_counter(watch.uid, watch.sample_latency_ms)
+        fps, lats = measure_cfg(watch.uid, watch.sample_latency_ms)
         pose_fps, pose_lats = measure_counter(
             lambda: grp.seq,
             lambda: grp.latency_ms.get(),
@@ -1505,7 +1591,7 @@ def config4_preprocess_chain() -> None:
         w_cb = PostWatch("ColorBalance", WARM_S)
         wait_counter(w_pre.uid, 60, "preprocessor posts")
         wait_counter(w_cb.uid, 60, "color_balance posts")
-        fps_pre, lats = measure_counter(w_pre.uid, w_pre.sample_latency_ms)
+        fps_pre, lats = measure_cfg(w_pre.uid, w_pre.sample_latency_ms)
         fps_cb, _ = measure_counter(w_cb.uid, seconds=min(MEASURE_S, 6))
         w_pre.close()
         w_cb.close()
@@ -1573,7 +1659,7 @@ def config5_yolo_latency() -> None:
     try:
         grp = shm.yolo_status
         wait_counter(lambda: grp.seq, WARM_S, "yolo detections")
-        fps, lats = measure_counter(
+        fps, lats = measure_cfg(
             lambda: grp.seq,
             lambda: grp.latency_ms.get(),
             seconds=max(MEASURE_S, 15),
@@ -1605,90 +1691,149 @@ def config5b_yolo_batch_throughput() -> None:
     drain on this link) and the yolo module runs CUAUV_YOLO_BATCH=8, so
     each tick drains up to 8 queued frames into ONE 8-batch conv stack.
     yolo_status.seq advances once per LANE, so its rate is true e2e
-    frames/sec; compare against config 5's one-frame-per-dispatch fps in
-    the same sweep for the amortization factor. The latency samples mix
-    lanes (oldest lanes carry queueing delay by design — that is the
-    throughput trade; latest-wins is the CUAUV_YOLO_LATEST_ONLY knob)."""
+    frames/sec. The amortization factor compares against a batch=1 run
+    under the SAME single-zed 30 fps saturated topology measured first in
+    this step (ADVICE r3: config 5's latency-mode zed+flir number is a
+    different offered load and conflated batching gain with topology).
+    Mean drain depth is frames/dispatches over the window — two counters
+    the module bumps per-lane and per-dispatch respectively — not a mean
+    of per-lane `lanes` samples, which is lane-count weighted (ADVICE r3).
+    The latency samples mix lanes (oldest lanes carry queueing delay by
+    design — that is the throughput trade; latest-wins is the
+    CUAUV_YOLO_LATEST_ONLY knob)."""
     from cuauv_vision_pipeline_tpu.core import shm
 
-    clean_shm()
-    zed = spawn(
-        [
-            "cuauv_vision_pipeline_tpu.capture_sources.synthetic",
-            "zed",
-            "--scene",
-            "zed",
-            "--width",
-            "1280",
-            "--height",
-            "720",
-            "--fps",
-            "30",
-            "--precompute",
-            "4",
-        ],
-        "c5b_zed",
+    def one_run(batch: int, tag: str, window_s: float):
+        clean_shm()
+        zed = spawn(
+            [
+                "cuauv_vision_pipeline_tpu.capture_sources.synthetic",
+                "zed",
+                "--scene",
+                "zed",
+                "--width",
+                "1280",
+                "--height",
+                "720",
+                "--fps",
+                "30",
+                "--precompute",
+                "4",
+            ],
+            f"{tag}_zed",
+        )
+        mod = spawn(
+            [
+                "cuauv_vision_pipeline_tpu.modules.yolo",
+                "zed",
+                "--fps",
+                "1000",
+            ],
+            f"{tag}_mod",
+            env={"CUAUV_YOLO_BATCH": str(batch)},
+        )
+        try:
+            grp = shm.yolo_status
+            # min_advance=80: the module pre-compiles one trace per
+            # fresh-lane count (1..batch) after its first dispatch; a
+            # handful of early lane deliveries does NOT mean the batched
+            # flow is warm (a 3-advance gate once opened the window
+            # mid-compile and measured 0.2 fps)
+            wait_counter(
+                lambda: grp.seq,
+                WARM_S,
+                f"yolo batch={batch} detections",
+                min_advance=80 if batch > 1 else 20,
+            )
+            d0 = int(grp.dispatches.get())
+            fps, lats = measure_counter(
+                lambda: grp.seq,
+                lambda: grp.latency_ms.get(),
+                seconds=window_s,
+            )
+            d1 = int(grp.dispatches.get())
+            f1 = int(grp.seq)
+            return (
+                fps,
+                lats,
+                d1 - d0,
+                float(grp.latency_newest_ms.get()),
+                f1,
+            )
+        finally:
+            stop(mod, zed)
+
+    # batch=1 baseline FIRST under identical saturation (shorter window —
+    # it only anchors the ratio; its own number is config 5's job)
+    fps1, _, _, _, _ = one_run(1, "c5b1", min(MEASURE_S, 10))
+    fps, lats, dispatches, newest_ms, _ = one_run(
+        8, "c5b", max(MEASURE_S, 15)
     )
-    mod = spawn(
-        [
-            "cuauv_vision_pipeline_tpu.modules.yolo",
-            "zed",
-            "--fps",
-            "1000",
-        ],
-        "c5b_mod",
-        env={"CUAUV_YOLO_BATCH": "8"},
+    frames_in_window = len(lats)  # seq advances sampled; exact is below
+    emit(
+        "yolo_e2e_batch8_fps",
+        round(fps, 2),
+        "frames/sec",
+        p50_latency_ms=round(p50(lats), 1),
+        n_samples=frames_in_window,
+        mean_lanes_per_dispatch=(
+            round(fps * max(MEASURE_S, 15) / dispatches, 2)
+            if dispatches > 0
+            else None
+        ),
+        latency_newest_ms=round(newest_ms, 1),
+        batch1_saturated_fps=round(fps1, 2),
+        amortization_x=(round(fps / fps1, 2) if fps1 > 0 else None),
+        note=(
+            "30 fps zed stand-in -> yolo CUAUV_YOLO_BATCH=8 (up to 8 "
+            "queued frames per 8-batch conv stack); seq counts lanes = "
+            "true e2e frames/sec. batch1_saturated_fps is a CUAUV_YOLO_"
+            "BATCH=1 run under the SAME single-zed 30 fps saturation, "
+            "measured first in this step — the apples-to-apples "
+            "amortization anchor. mean_lanes_per_dispatch = lane-frames / "
+            "dispatch counter over the window (exact, unweighted). "
+            "Latency mixes lanes (queueing delay is the deliberate "
+            "trade; CUAUV_YOLO_LATEST_ONLY restores latest-wins). On a "
+            "slow tunnel the per-tick cost is H2D-byte-bound, capping "
+            "amortization below K; on PCIe H2D is sub-ms and the round "
+            "trip being amortized is latency, not bytes"
+        ),
     )
-    try:
-        grp = shm.yolo_status
-        # min_advance=80: the module pre-compiles one trace per fresh-lane
-        # count (1..8) after its first dispatch; a handful of early lane
-        # deliveries does NOT mean the batched flow is warm (a 3-advance
-        # gate once opened the window mid-compile and measured 0.2 fps)
-        wait_counter(
-            lambda: grp.seq, WARM_S, "yolo batched detections", min_advance=80
-        )
-        fps, lats, lanes = measure_counter(
-            lambda: grp.seq,
-            lambda: grp.latency_ms.get(),
-            seconds=max(MEASURE_S, 15),
-            sample_latency2=lambda: float(grp.lanes.get()),
-        )
-        single = next(
-            (
-                r.get("fps")
-                for r in RESULTS
-                if r["metric"] == "yolo_p50_camera_to_detection_ms"
-            ),
-            None,
-        )
-        emit(
-            "yolo_e2e_batch8_fps",
-            round(fps, 2),
-            "frames/sec",
-            p50_latency_ms=round(p50(lats), 1),
-            n_samples=len(lats),
-            mean_lanes_per_dispatch=(
-                round(sum(lanes) / len(lanes), 2) if lanes else None
-            ),
-            latency_newest_ms=round(float(grp.latency_newest_ms.get()), 1),
-            single_dispatch_fps=single,
-            amortization_x=(round(fps / single, 2) if single else None),
-            note=(
-                "30 fps zed stand-in -> yolo CUAUV_YOLO_BATCH=8 (up to 8 "
-                "queued frames per 8-batch conv stack); seq counts lanes = "
-                "true e2e frames/sec. single_dispatch_fps is config 5's "
-                "one-frame-per-dispatch rate from the same sweep; latency "
-                "mixes lanes (queueing delay is the deliberate trade; "
-                "CUAUV_YOLO_LATEST_ONLY restores latest-wins). On this "
-                "tunnel the per-tick cost is H2D-byte-bound (~13 MB/s "
-                "measured: 8 lanes = 22 MB ~ 1 s/tick), so amortization is "
-                "capped well below K; on a PCIe-class link H2D is sub-ms "
-                "and the round trip being amortized is latency, not bytes"
-            ),
-        )
-    finally:
-        stop(mod, zed)
+
+
+def _emit_degraded(fallback, name: str, err: Exception) -> None:
+    """A config that timed out or died must still leave a metric line
+    (round-3 verdict: config 1's StepTimeout emitted NOTHING, so the
+    driver artifact had no flagship e2e number at all). If any pass
+    already produced this metric, re-print that line (tail freshness
+    without clobbering a real number in BENCH_RESULTS); otherwise emit a
+    zero-valued line marked degraded carrying the last observed warm-up
+    state so the artifact explains exactly how far the config got."""
+    metric, unit = fallback
+    prior = next(
+        (
+            r
+            for r in RESULTS
+            if r.get("metric") == metric and not r.get("degraded")
+        ),
+        None,
+    )
+    if prior is not None:
+        print(json.dumps(prior), flush=True)
+        return
+    emit(
+        metric,
+        0.0,
+        unit,
+        degraded=True,
+        error=f"{type(err).__name__}: {err}",
+        progress=dict(LAST_PROGRESS),
+        note=(
+            f"{name} did not complete a measurement window; progress "
+            "records the last observed warm-up/measure state before the "
+            "cap fired"
+        ),
+    )
 
 
 def _last_committed_sweep() -> list:
@@ -1810,40 +1955,71 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
-    # order: headline + device benches FIRST (before any readback / any
-    # window-burning config), micro-benches + derived budgets next, then
-    # the five topology configs, most important first.
-    steps = {
-        # caps must survive a fully COLD persistent cache: the process's
-        # first readback costs 150-545 s (uncacheable aux compile on
-        # tunnel-attached chips) and each new graph 30-300 s via the remote
-        # compile helper — and SIGALRM only raises AFTER a blocked compile
-        # C-call returns, so a too-tight cap kills the step right before
-        # its seconds-long measurement. Headline pays readback + 2 graphs
-        # (worst ~1150 s); device steps pay up to 4 yolo variants.
-        "h": ("headline: device chain", headline_device_chain, 1600),
-        "s": ("stereo fan-in chain", stereo_fanin_bench, 500),
-        "d": ("device chain steps", device_step_bench, 900),
-        "t": ("H2D transfer", transfer_bench, 300),
-        "b": ("bus roundtrip", bus_roundtrip_bench, 120),
-        "y": ("yolo host path", yolo_host_path_bench, 620),
-        "r": ("train step", train_step_bench, 500),
-        "p": ("derived PCIe budgets", _derived_with_host_legs, 650),
-        "1": ("config 1: red_buoy e2e topology", config1_red_buoy_e2e, CONFIG_CAP_S),
-        "5": ("config 5: yolo p50 latency", config5_yolo_latency, CONFIG_CAP_S),
-        "2": ("config 2: gate localization", config2_gate_video, CONFIG_CAP_S),
-        "3": ("config 3: bins + sift pose", config3_bins, CONFIG_CAP_S),
-        "4": ("config 4: preprocess chain", config4_preprocess_chain, CONFIG_CAP_S),
+    # order (round-3 verdict): headline FIRST, then the QUICK pass over
+    # all five topology configs (short settle, adaptive stable windows,
+    # lines marked pass:"quick") so the driver tail holds a number for
+    # every flagship metric early no matter where its kill lands. The
+    # micro-benches + derived budgets come next, then the FULL pass
+    # re-measures each config with the long windows — its module
+    # subprocesses load every chain executable from the persistent cache
+    # the quick pass just populated, so full-pass warm-up is seconds.
+    configs_meta = {
+        "1": (
+            "config 1: red_buoy e2e topology",
+            config1_red_buoy_e2e,
+            ("red_buoy_1080p_e2e_topology_fps", "frames/sec"),
+        ),
+        "5": (
+            "config 5: yolo p50 latency",
+            config5_yolo_latency,
+            ("yolo_p50_camera_to_detection_ms", "ms"),
+        ),
+        "2": (
+            "config 2: gate localization",
+            config2_gate_video,
+            ("gate_localization_720p_e2e_fps", "frames/sec"),
+        ),
+        "3": (
+            "config 3: bins + sift pose",
+            config3_bins,
+            ("bins_sift_720p_e2e_fps", "frames/sec"),
+        ),
+        "4": (
+            "config 4: preprocess chain",
+            config4_preprocess_chain,
+            ("preprocess_chain_720p_e2e_fps", "frames/sec"),
+        ),
         "8": (
             "config 5b: yolo batch=8 saturated throughput",
             config5b_yolo_batch_throughput,
-            CONFIG_CAP_S,
+            ("yolo_e2e_batch8_fps", "frames/sec"),
         ),
     }
+    steps = {
+        # caps must survive a fully COLD persistent cache: each new graph
+        # compiles through a remote helper (minutes) — and SIGALRM only
+        # raises AFTER a blocked compile C-call returns, so a too-tight
+        # cap kills the step right before its seconds-long measurement.
+        "h": ("headline: device chain", headline_device_chain, 1200, None),
+        "s": ("stereo fan-in chain", stereo_fanin_bench, 500, None),
+        "d": ("device chain steps", device_step_bench, 900, None),
+        "t": ("H2D transfer", transfer_bench, 300, None),
+        "b": ("bus roundtrip", bus_roundtrip_bench, 120, None),
+        "y": ("yolo host path", yolo_host_path_bench, 620, None),
+        "r": ("train step", train_step_bench, 500, None),
+        "p": ("derived PCIe budgets", _derived_with_host_legs, 650, None),
+    }
+    for k, (name, fn, fallback) in configs_meta.items():
+        # full-pass caps: the quick pass warmed the compile cache, so the
+        # default CONFIG_CAP_S is generous; quick caps must cover a cold
+        # compile of the module's chain + its per-lane-count variants.
+        steps[k] = (name, fn, CONFIG_CAP_S, fallback)
+        steps["q" + k] = (f"quick {name}", fn, QUICK_CAP_S, fallback)
     t_start = time.monotonic()
+    global QUICK
     for key in CONFIGS:
         key = key.strip()
-        name, fn, cap = steps.get(key, (None, None, 0))
+        name, fn, cap, fallback = steps.get(key, (None, None, 0, None))
         if fn is None:
             continue
         remaining = BUDGET_S - (time.monotonic() - t_start)
@@ -1851,11 +2027,16 @@ def main() -> None:
             log(f"--- {name} SKIPPED: over {BUDGET_S:.0f}s budget ---")
             continue
         log(f"--- {name} (cap {min(cap, remaining):.0f}s) ---")
+        QUICK = key.startswith("q")
         try:
             with hard_deadline(name, min(cap, remaining)):
                 fn()
         except Exception as e:  # a failed step must not kill the rest
             log(f"{name} FAILED: {type(e).__name__}: {e}")
+            if fallback is not None:
+                _emit_degraded(fallback, name, e)
+        finally:
+            QUICK = False
         # keep the headline as the MOST RECENT metric line on stdout after
         # every step: the driver records the last parsed JSON line of the
         # tail and its kill can land anywhere (r02's landed mid-sweep), so

@@ -185,6 +185,10 @@ class Yolo(ModuleBase, HandlerMixin):
         )
         if meta.newest:
             fields["latency_newest_ms"] = lat
+            # one bump per device round trip (this is the dispatch's final
+            # lane): frames/dispatches = exact mean drain depth
+            self._dispatches = getattr(self, "_dispatches", 0) + 1
+            fields["dispatches"] = self._dispatches
         shm.yolo_status.set(**fields)
 
     def _dummy_frame(self, hw) -> np.ndarray:

@@ -531,6 +531,7 @@ def detect_describe(
     quality: float = 0.01,
     min_distance: int = 8,
     oriented: bool = True,
+    force_global_topk: bool = False,
 ):
     """Keypoint detection + description entirely on device, one traced
     graph — the TPU replacement for the pose flow's host cv2.SIFT leg
@@ -590,8 +591,10 @@ def detect_describe(
     # the tile stage is only lossless while TK covers the densest packing
     # of min_distance-spaced points in a tile (and only meaningful when
     # the image is big enough to feed the global stage)
-    if (T // max(min_distance, 1) + 1) ** 2 <= TK and (
-        n_tiles * TK >= max_keypoints
+    if (
+        not force_global_topk
+        and (T // max(min_distance, 1) + 1) ** 2 <= TK
+        and n_tiles * TK >= max_keypoints
     ):
         sp = jnp.pad(
             score, ((0, Hp - H), (0, Wp - W)), constant_values=-jnp.inf
@@ -667,4 +670,4 @@ def detect_describe(
     return kp, des, n_valid
 
 
-detect_describe_jit = jax.jit(detect_describe, static_argnums=(1, 3, 4))
+detect_describe_jit = jax.jit(detect_describe, static_argnums=(1, 3, 4, 5))

@@ -567,3 +567,14 @@ def test_detect_describe_tiled_topk_matches_global():
     # candidate set (greedy suppression then thins it identically)
     assert got <= glob
     assert int(n_t) >= 10
+
+    # ADVICE r3: subset alone would miss the tiled stage silently DROPPING
+    # keypoints the global sort keeps — force the global-sort form of the
+    # SAME pipeline on the same (tie-free, textured) frame and require the
+    # greedy-suppressed keypoint sets to be identical
+    kp_f, _, n_f = detect_describe_jit(
+        jnp.asarray(gray), 128, 0.01, 8, True, True
+    )
+    forced = {(int(x), int(y)) for x, y in np.asarray(kp_f[: int(n_f)])}
+    assert int(n_f) == int(n_t)
+    assert forced == got
