@@ -99,6 +99,24 @@ def bins_frame(shape: Tuple[int, int], t: float, seed: int = 7) -> np.ndarray:
     return frame
 
 
+def gate_frame(shape: Tuple[int, int], t: float, seed: int = 7) -> np.ndarray:
+    """Teal backdrop with a shark and a saw (the gate task's two classes)
+    orbiting on opposite phases — drawn by the SAME primitive the gate
+    training scenes use (models/yolo/synth.draw_gate_object), so the
+    in-repo gate checkpoint detects them without domain gap. Feeds
+    BASELINE config 2's record->replay + real-yolo localization loop."""
+    from ..models.yolo.synth import draw_gate_object
+
+    h, w = shape
+    frame = _backdrop(shape, seed).copy()
+    for cls_id, phase in ((0, 0.0), (1, math.pi)):
+        cy = h / 2 + 0.28 * h * math.sin(t * 0.6 + phase)
+        cx = w / 2 + 0.28 * w * math.cos(t * 0.8 + phase)
+        r = 0.11 * min(h, w)
+        draw_gate_object(frame, cls_id, cx, cy, r)
+    return frame
+
+
 class Synthetic(CaptureSource):
     def __init__(
         self,
@@ -110,8 +128,10 @@ class Synthetic(CaptureSource):
         precompute: int = 0,
     ):
         super().__init__()
-        assert scene in ("buoy", "zed", "bins"), f"unknown scene {scene}"
-        frame_fn = bins_frame if scene == "bins" else buoy_frame
+        assert scene in ("buoy", "zed", "bins", "gate"), f"unknown scene {scene}"
+        frame_fn = {"bins": bins_frame, "gate": gate_frame}.get(
+            scene, buoy_frame
+        )
 
         def gen(k: int) -> np.ndarray:
             return frame_fn((height, width), k / max(fps, 1))

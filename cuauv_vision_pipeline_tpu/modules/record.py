@@ -88,5 +88,68 @@ class Record(ModuleBase):
             self._close_writers()
 
 
+class RecordMono(ModuleBase):
+    """Single-plane recorder for ANY bus direction: one mp4 of the frames
+    while the mission is active. The zed 4-plane Record above is the
+    reference-parity recorder (reference modules/record.py:47-137); this
+    generalizes the same record->replay resume story to arbitrary cameras
+    so e.g. a gate run on `gatecam` can be captured and replayed through
+    capture_sources/video.py (BASELINE config 2 measures exactly that
+    loop)."""
+
+    def __init__(self, direction: str, fps: int = RECORD_FPS, **kwargs):
+        super().__init__([direction], [], fps=fps, **kwargs)
+        self._writer = None
+        self._record_fps = fps
+        self.path: str = ""
+
+    def _open_writer(self, shape) -> None:
+        import cv2
+
+        log_dir = shm.active_mission.log_path.get() or "/tmp"
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"record-mono-{stamp}.mp4")
+        h, w = shape[:2]
+        writer = cv2.VideoWriter(
+            self.path,
+            cv2.VideoWriter_fourcc(*"avc1"),
+            self._record_fps,
+            (w, h),
+        )
+        if not writer.isOpened():  # avc1 missing: fall back to mp4v
+            writer = cv2.VideoWriter(
+                self.path,
+                cv2.VideoWriter_fourcc(*"mp4v"),
+                self._record_fps,
+                (w, h),
+            )
+        self._writer = writer
+
+    def process(self, direction, img):
+        active = shm.active_mission.active.get()
+        if not active:
+            if self._writer is not None:
+                self._writer.release()
+                self._writer = None
+            return
+        if self._writer is None:
+            self._open_writer(img.shape)
+        self._writer.write(np.ascontiguousarray(img))
+
+    def __del__(self):
+        if self._writer is not None:
+            self._writer.release()
+
+
 if __name__ == "__main__":
-    Record(["zed"], [], fps=RECORD_FPS)()
+    import sys
+
+    # `record.py` -> zed 4-plane parity recorder; `record.py --mono DIR`
+    # -> single-plane recorder on DIR
+    if len(sys.argv) > 1 and sys.argv[1] == "--mono":
+        direction = sys.argv[2] if len(sys.argv) > 2 else "forward"
+        sys.argv = [sys.argv[0]] + sys.argv[3:]
+        RecordMono(direction)()
+    else:
+        Record(["zed"], [], fps=RECORD_FPS)()

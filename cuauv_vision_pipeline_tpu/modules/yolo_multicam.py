@@ -18,9 +18,36 @@ the same dispatch, not another round trip.
 
 from __future__ import annotations
 
+import os
+
 from .yolo import HANDLERS, TUNERS, Yolo
 from ..core import shm
 from ..core.base import device_fn
+
+# CUAUV_CROSSCAM_MERGE=1: append a cross-camera consensus list to the same
+# dispatch — the per-camera detections are stacked, class-aware NMS'd in
+# the shared model frame (co-registered rigs like the zed stereo pair;
+# other rigs apply extrinsics upstream), and the merged [max_det, 6] list
+# rides the packed fetch. On a multi-chip mesh the same merge is the
+# all_gather stage (parallel/crosscam.make_cross_camera_merge, asserted by
+# __graft_entry__.dryrun_multichip).
+CROSSCAM_MERGE = os.environ.get("CUAUV_CROSSCAM_MERGE", "") == "1"
+
+
+def _merged_dets(decoded):
+    import jax.numpy as jnp
+
+    from ..parallel.crosscam import cross_camera_nms
+
+    dets = jnp.concatenate(
+        [
+            decoded["xyxy"],
+            decoded["score"][..., None],
+            decoded["cls"].astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [n_cam, K, 6]
+    return cross_camera_nms(dets)
 
 
 class YoloMulticam(Yolo):
@@ -36,6 +63,8 @@ class YoloMulticam(Yolo):
         fetch. (Overrides the single-camera chain from Yolo.)"""
         self._cam_hw = (fwd.shape[:2], flir.shape[:2])  # static at trace
         decoded = dict(self.model.device_decode_multi((fwd, flir)))
+        if CROSSCAM_MERGE:
+            decoded["crosscam_merged"] = _merged_dets(decoded)
         posts = (
             {"image_forward": fwd, "image_downward": flir}
             if want_posts
@@ -48,6 +77,15 @@ class YoloMulticam(Yolo):
 
         if not hasattr(self, "_cam_trackers"):  # one track space per camera
             self._cam_trackers = [ByteTracker() for _ in self.CAMERAS]
+        merged = decoded.pop("crosscam_merged", None)
+        if merged is not None:
+            # fleet-wide consensus list (rows zeroed when suppressed);
+            # kept on the instance for consumers/tests — per-camera
+            # handler dispatch below is unchanged (additive surface)
+            import numpy as np
+
+            self.last_merged = np.asarray(merged)
+            self.last_merged_count = int((self.last_merged[:, 4] > 0).sum())
         cam_hw = self._cam_hw
         post_names = self.POST_NAMES
         for i, (alias, direction) in enumerate(self.CAMERAS):
@@ -101,6 +139,8 @@ def multicam_class(source_specs):
         def detect_chain(self, *frames, tuners, want_posts):
             self._cam_hw = tuple(f.shape[:2] for f in frames)
             decoded = dict(self.model.device_decode_multi(frames))
+            if CROSSCAM_MERGE:
+                decoded["crosscam_merged"] = _merged_dets(decoded)
             posts = (
                 dict(zip(self.POST_NAMES, frames)) if want_posts else {}
             )

@@ -46,6 +46,7 @@ def evaluate(model, variables, args, seed: int = 10_000):
     )
 
     task = model.task
+    data_task = getattr(args, "data_task", None) or task
 
     @jax.jit
     def infer(variables, x):
@@ -63,7 +64,7 @@ def evaluate(model, variables, args, seed: int = 10_000):
     tp = n_gt = n_pred = 0
     quality = []
     for _ in range(args.eval_scenes // 8):
-        batch = make_task_batch(rng, 8, args.image_size, task=task)
+        batch = make_task_batch(rng, 8, args.image_size, task=data_task)
         imgs, boxes, cls = batch[:3]
         decoded = jax.tree.map(np.asarray, infer(variables, to_model_input(imgs)))
         for b in range(len(imgs)):
@@ -113,7 +114,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/synth_yolo.msgpack")
     ap.add_argument(
         "--task", default="detect",
-        choices=("detect", "segment", "obb", "pose"),
+        choices=("detect", "segment", "obb", "pose", "gate"),
         help="the task branch to train: segment adds the prototype-mask "
         "BCE (exact instance masks), obb the angle L1 (rotated slabs), "
         "pose the keypoint L1+visibility BCE (disc rim points) — all on "
@@ -143,6 +144,7 @@ def main() -> int:
     from cuauv_vision_pipeline_tpu.models.yolo.model import create_model
     from cuauv_vision_pipeline_tpu.models.yolo.synth import (
         CLASS_NAMES,
+        GATE_CLASS_NAMES,
         OBB_CLASS_NAMES,
         POSE_CLASS_NAMES,
         POSE_NUM_KEYPOINTS,
@@ -157,11 +159,16 @@ def main() -> int:
 
     names = {
         "obb": OBB_CLASS_NAMES, "pose": POSE_CLASS_NAMES,
+        "gate": GATE_CLASS_NAMES,
     }.get(args.task, CLASS_NAMES)
+    # "gate" is a DATASET choice, not a head: shark/saw scenes train the
+    # plain detect head (the serving path buckets by class NAME into the
+    # gate handler, modules/yolo.py DETECTORS)
+    model_task = "detect" if args.task == "gate" else args.task
     model, variables = create_model(
         len(names),
         size=args.model_size,
-        task=args.task,
+        task=model_task,
         image_size=args.image_size,
         seed=args.seed,
         num_keypoints=POSE_NUM_KEYPOINTS,
@@ -223,6 +230,7 @@ def main() -> int:
             )
 
     trained = {"params": state.params, "batch_stats": state.batch_stats}
+    args.data_task = args.task
     recall, precision, n_gt, quality = evaluate(model, trained, args)
     q_note = {
         "segment": f"  mask-IoU {quality:.3f}",

@@ -126,3 +126,50 @@ def test_shard_map_full_chain_fanout():
         np.testing.assert_allclose(out["centroid"][cam], ref["centroid"])
         np.testing.assert_array_equal(out["bbox"][cam], ref["bbox"])
         assert out["area"][cam] > 20  # the disc was actually found
+
+
+def test_cross_camera_nms_single_device():
+    """Stacked per-camera lists merge to one consensus list: cross-view
+    duplicates suppressed keeping the highest-confidence view, unique
+    objects all kept, padding (conf<=0) never selected."""
+    from cuauv_vision_pipeline_tpu.parallel.crosscam import cross_camera_nms
+
+    dets = np.zeros((3, 4, 6), np.float32)
+    for cam in range(3):
+        dets[cam, 0] = (50, 50, 90, 90, 0.5 + 0.1 * cam, 0)  # shared object
+        dets[cam, 1] = (200 + 30 * cam, 10, 212 + 30 * cam, 22, 0.8, 1)
+    merged = np.asarray(cross_camera_nms(jnp.asarray(dets), max_det=8))
+    kept = merged[merged[:, 4] > 0]
+    assert len(kept) == 4  # 1 shared + 3 unique
+    shared = kept[kept[:, 5] == 0]
+    assert len(shared) == 1
+    np.testing.assert_allclose(shared[0, 4], 0.7, atol=1e-6)
+
+
+def test_cross_camera_merge_collective_on_mesh():
+    """The mesh form: each device's consensus output contains boxes ONLY
+    other devices held (all_gather over the camera axis) and is identical
+    on every device."""
+    from jax.sharding import Mesh
+
+    from cuauv_vision_pipeline_tpu.parallel.crosscam import (
+        make_cross_camera_merge,
+    )
+
+    n = 8
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    dets = np.zeros((n, 2, 6), np.float32)
+    for cam in range(n):
+        dets[cam, 0] = (10, 10, 30, 30, 0.4 + 0.05 * cam, 0)
+        dets[cam, 1] = (40 * cam, 100, 40 * cam + 16, 116, 0.9, 1)
+    merge = make_cross_camera_merge(mesh, max_det=16)
+    out = np.asarray(
+        merge(jax.device_put(dets, NamedSharding(mesh, P("data"))))
+    )
+    assert out.shape == (n, 16, 6)
+    for cam in range(1, n):
+        np.testing.assert_array_equal(out[cam], out[0])
+    kept = out[0][out[0][:, 4] > 0]
+    assert len(kept) == n + 1
+    # cam0 could not have produced the other cameras' unique boxes alone
+    assert kept[:, 0].max() >= 40 * (n - 1)
