@@ -191,6 +191,11 @@ class YoloModel:
         if weight_path and os.path.exists(weight_path):
             self.model, self.variables, meta = load_checkpoint(weight_path)
             self.task = meta.get("task", task)
+            # checkpoint-embedded serving resolution wins over the ctor
+            # default (single-scale fixtures must serve at their trained
+            # size); an explicit non-default ctor value still overrides
+            if image_size == 640 and meta.get("image_size"):
+                self.image_size = int(meta["image_size"])
             # `or`, not .get(default): a .pt without embedded names stores
             # names as [] — falling through to str(cls_id) names would make
             # every detection miss the name-keyed handler buckets

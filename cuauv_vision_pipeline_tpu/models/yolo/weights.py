@@ -80,6 +80,12 @@ def save_checkpoint(path: str, model: YOLO, variables: Dict, extra: Dict) -> Non
         "num_masks": model.num_masks,
         **extra,
     }
+    # serve at the trained resolution by default: a pico trained at 128/160
+    # is single-scale — letterboxing production frames to the ctor-default
+    # 640 would hand it objects 3-4x larger than anything it ever saw
+    meta.setdefault("image_size", extra.get("image_size"))
+    if meta["image_size"] is None:
+        del meta["image_size"]
     with open(path + ".json", "w") as fh:
         json.dump(meta, fh)
 

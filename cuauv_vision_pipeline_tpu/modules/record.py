@@ -100,7 +100,10 @@ class RecordMono(ModuleBase):
     def __init__(self, direction: str, fps: int = RECORD_FPS, **kwargs):
         super().__init__([direction], [], fps=fps, **kwargs)
         self._writer = None
-        self._record_fps = fps
+        # the CLI-parsed module rate (ModuleBase --fps) IS the recording
+        # rate: the writer header must match what's written or replay
+        # through capture_sources/video.py runs at the wrong speed
+        self._record_fps = self._fps
         self.path: str = ""
 
     def _open_writer(self, shape) -> None:

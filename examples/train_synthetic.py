@@ -243,7 +243,12 @@ def main() -> int:
     )
 
     trained_np = jax.tree.map(np.asarray, trained)
-    save_checkpoint(args.out, model, trained_np, {"names": list(names)})
+    save_checkpoint(
+        args.out,
+        model,
+        trained_np,
+        {"names": list(names), "image_size": args.image_size},
+    )
     print(f"[train] saved {args.out} (+ .json sidecar)")
     return 0
 
