@@ -1197,7 +1197,7 @@ class ModuleBase(ABC):
             from ..engine.executor import (
                 DevicePipeline,
                 StreamExecutor,
-                pack_result,
+                build_packed_fn,
                 unpack_result,
             )
 
@@ -1214,41 +1214,12 @@ class ModuleBase(ABC):
             # device->host round trip per frame, u8 images at native width);
             # want_posts is a static arg and each fresh-lane count is its
             # own trace, so every (want_posts, nlanes) pair carries its own
-            # unpack spec (nlanes=0 for unbatched chains)
-            spec_cells: Dict[Tuple[bool, int], Dict[str, Any]] = {}
-
-            if dev_batch > 1:
-                # per-frame user chain combined over the leading lane axis
-                # (tuners broadcast); only FRESH lanes are dispatched, so
-                # the lane count varies 1..batch — one cached trace each.
-                # batch_mode="vmap" vectorizes lanes; "map" runs them
-                # sequentially inside the one dispatch (single-frame VMEM
-                # profile — see the device_fn docstring).
-                import jax as _jax
-
-                def packed_fn(batched, *, tuners, want_posts, _fn=dev_bound):
-                    def one(frame):
-                        return _fn(
-                            frame, tuners=tuners, want_posts=want_posts
-                        )
-
-                    if dev_batch_mode == "map" and batched.shape[0] > 1:
-                        result, posts = _jax.lax.map(one, batched)
-                    else:
-                        result, posts = _jax.vmap(one)(batched)
-                    cell = spec_cells.setdefault(
-                        (want_posts, int(batched.shape[0])), {}
-                    )
-                    return pack_result((result, posts), cell)
-
-            else:
-
-                def packed_fn(*frames, tuners, want_posts, _fn=dev_bound):
-                    result, posts = _fn(
-                        *frames, tuners=tuners, want_posts=want_posts
-                    )
-                    cell = spec_cells.setdefault((want_posts, 0), {})
-                    return pack_result((result, posts), cell)
+            # unpack spec (nlanes=0 for unbatched chains). The construction
+            # is shared with engine.prewarm so AOT compiles hit the same
+            # persistent-cache entries this process looks up.
+            packed_fn, spec_cells = build_packed_fn(
+                dev_bound, dev_batch, dev_batch_mode
+            )
 
             dev_exec = StreamExecutor(
                 DevicePipeline(packed_fn, static_argnames=("want_posts",)),

@@ -108,6 +108,54 @@ def pack_result(result: Any, spec_cell: dict) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
+def build_packed_fn(
+    dev_bound: Callable, dev_batch: int, dev_batch_mode: str
+) -> Tuple[Callable, dict]:
+    """The exact jit target ModuleBase dispatches for a @device_fn.
+
+    Wraps the module's chain so ``(result, posts)`` pack into ONE
+    fetchable u32 vector; batched chains combine fresh lanes via vmap /
+    ``lax.map``. Returns ``(packed_fn, spec_cells)`` where ``spec_cells``
+    maps ``(want_posts, nlanes)`` -> unpack spec, populated at trace time.
+
+    Shared by ``ModuleBase.run`` and :mod:`engine.prewarm` so ahead-of-
+    time compiles in one process produce byte-identical HLO — and
+    therefore persistent-cache hits — for the module processes spawned
+    later (the multi-minute cold compile of a chain through a
+    remote-attached backend then happens once per machine, before any
+    frame flows)."""
+    spec_cells: dict = {}
+
+    if dev_batch > 1:
+        # per-frame user chain combined over the leading lane axis (tuners
+        # broadcast); only FRESH lanes are dispatched, so the lane count
+        # varies 1..batch — one cached trace each. batch_mode="vmap"
+        # vectorizes lanes; "map" runs them sequentially inside the one
+        # dispatch (single-frame VMEM profile — see the device_fn
+        # docstring).
+        def packed_fn(batched, *, tuners, want_posts, _fn=dev_bound):
+            def one(frame):
+                return _fn(frame, tuners=tuners, want_posts=want_posts)
+
+            if dev_batch_mode == "map" and batched.shape[0] > 1:
+                result, posts = jax.lax.map(one, batched)
+            else:
+                result, posts = jax.vmap(one)(batched)
+            cell = spec_cells.setdefault(
+                (want_posts, int(batched.shape[0])), {}
+            )
+            return pack_result((result, posts), cell)
+
+    else:
+
+        def packed_fn(*frames, tuners, want_posts, _fn=dev_bound):
+            result, posts = _fn(*frames, tuners=tuners, want_posts=want_posts)
+            cell = spec_cells.setdefault((want_posts, 0), {})
+            return pack_result((result, posts), cell)
+
+    return packed_fn, spec_cells
+
+
 def unpack_result(packed: np.ndarray, spec) -> Any:
     """Invert :func:`pack_result` on the host (zero-copy views where
     possible)."""

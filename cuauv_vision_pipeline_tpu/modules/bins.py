@@ -60,8 +60,29 @@ class BinDetector(ModuleBase):
     # class default so chain-only instances (bench, tests) skip pose
     _pose_sift = None
 
+    @classmethod
+    def prewarm(cls, shape=(720, 1280, 3), log=None):
+        """AOT-compile the bins chain — including the in-chain SIFT pose
+        graphs when ``CUAUV_BINS_POSE_TEMPLATE`` is set (the template
+        descriptors are trace-time constants, so the cache entry is
+        template-specific) — into the shared persistent cache
+        (engine/prewarm.py). ``SIFT.warm`` inside ``_init_pose`` also
+        compiles the host-side match/score buckets."""
+        from ..engine.prewarm import prewarm_chain
+
+        mod = cls.__new__(cls)
+        mod._init_pose()
+        return prewarm_chain(
+            cls, shape, tuners=(), want_posts=(True,), module=mod, log=log
+        )
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        self._init_pose()
+
+    def _init_pose(self) -> None:
+        """Build the SIFT pose path when ``CUAUV_BINS_POSE_TEMPLATE`` is
+        set (shared by the live module and :meth:`prewarm`)."""
         template_spec = os.environ.get("CUAUV_BINS_POSE_TEMPLATE", "")
         if template_spec:
             from ..ops.color_np import bgr_to_gray_np

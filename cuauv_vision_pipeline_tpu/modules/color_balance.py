@@ -34,6 +34,39 @@ class ColorBalance(ModuleBase):
     the fetch of frame N overlaps the H2D + compute of frame N+1 — posts
     arrive one frame late, throughput doubles on high-latency links."""
 
+    @classmethod
+    def prewarm(cls, shape=(720, 1280, 3), log=None):
+        """AOT-compile the default-flag balance pipeline into the shared
+        persistent cache (engine/prewarm.py). The module compiles one
+        pipeline per flag combination; the default tuner set is the
+        combination every deployment starts in, so warming it covers the
+        spawned module's first (multi-minute, cold-cache) compile."""
+        import time
+
+        import jax
+
+        defaults = {t.name: t.value for t in module_tuners}
+        cfg = BalanceConfig(
+            equalize_rgb=bool(defaults["equalize_rgb"]),
+            rgb_contrast_correct=bool(defaults["rgb_contrast_correct"]),
+            hsv_contrast_correct=bool(defaults["hsv_contrast_correct"]),
+            hsi_contrast_correct=bool(defaults["hsi_contrast_correct"]),
+            rgb_extrema_clipping=bool(defaults["rgb_extrema_clipping"]),
+            adaptive_cast_correction=bool(
+                defaults["adaptive_cast_correction"]
+            ),
+            horizontal_blocks=int(defaults["horizontal_blocks"]),
+            vertical_blocks=int(defaults["vertical_blocks"]),
+        )
+        pipe = DevicePipeline(lambda img, c=cfg: balance(img, c))
+        t0 = time.perf_counter()
+        out = pipe(np.zeros(tuple(shape), np.uint8))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if log:
+            log(f"prewarm ColorBalance.balance[default]: {dt:.1f}s")
+        return {"ColorBalance.balance[default]": dt}
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._execs = {}

@@ -34,6 +34,18 @@ module_tuners = [
 
 
 class BuoyLAB(ModuleBase):
+    @classmethod
+    def prewarm(cls, shape=(1080, 1920, 3), want_posts=(False,), log=None):
+        """AOT-compile the buoy chain (every fresh-lane count) into the
+        shared persistent cache so a spawned module process starts warm —
+        see engine/prewarm.py. Defaults match the production deployment:
+        1080p zed forward plane, performance mode."""
+        from ..engine.prewarm import prewarm_chain
+
+        return prewarm_chain(
+            cls, shape, tuners=module_tuners, want_posts=want_posts, log=log
+        )
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # fresh results on startup: stale values from a previous run must

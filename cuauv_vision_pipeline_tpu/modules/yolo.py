@@ -75,6 +75,33 @@ _ACTIVE_FLAG = {
 
 
 class Yolo(ModuleBase, HandlerMixin):
+    @classmethod
+    def prewarm(cls, shape=(720, 1280, 3), weight=None, log=None):
+        """AOT-compile the detect chain for one frame shape + weight set
+        into the shared persistent cache (engine/prewarm.py).
+
+        The chain closes the model variables into the graph, so the cache
+        entry is weight-specific: pass the SAME ``weight`` path the
+        spawned module will resolve (default: the module's own
+        ``DEFAULT_WEIGHT`` / random-init fallback, which is seed-
+        deterministic and therefore byte-identical across processes)."""
+        import warnings
+
+        from ..engine.prewarm import prewarm_chain
+
+        mod = cls.__new__(cls)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            mod.model = YoloModel(weight or DEFAULT_WEIGHT, task="obb")
+        return prewarm_chain(
+            cls,
+            shape,
+            tuners=TUNERS,
+            want_posts=(True,),
+            module=mod,
+            log=log,
+        )
+
     def __init__(self, video_sources, tuners, handlers, weight=None, **kwargs):
         ModuleBase.__init__(self, video_sources, tuners, **kwargs)
         HandlerMixin.__init__(self, handlers)
@@ -135,8 +162,15 @@ class Yolo(ModuleBase, HandlerMixin):
     # would serialize the convs.
     # CUAUV_YOLO_LATEST_ONLY=M instead drops stale frames beyond a
     # backlog of M (the reference's latest-wins, cmf.cpp:423).
+    # "*": bind to the FIRST source's first-arriving alias — the zed
+    # 4-plane layout binds its forward plane, and single-plane cameras
+    # (a gatecam mp4 replay, a flir, an image directory) bind their only
+    # plane, so the module serves ANY camera named on the command line
+    # (the reference module's direction-agnostic contract, reference
+    # modules/yolo.py:101-116; a fixed "zed[forward]" spec silently
+    # never fired on single-plane sources).
     @device_fn(
-        "zed[forward]",
+        "*",
         depth=1,
         async_fetch=True,
         batch=int(os.environ.get("CUAUV_YOLO_BATCH", "1")),
