@@ -151,7 +151,7 @@ class YoloModel:
         task: str = "obb",
         class_names: Optional[Sequence[str]] = None,
         size: str = "n",
-        image_size: int = 640,
+        image_size: Optional[int] = None,
         conf_thresh: float = 0.25,
         max_det: int = 32,
         half_precision: bool = True,
@@ -170,7 +170,11 @@ class YoloModel:
         set (decode.decode's top-k prefilter — exact while the
         above-conf_thresh candidate count fits it); raise it together
         with very low conf_thresh values, e.g. recall sweeps."""
-        self.image_size = image_size
+        # None = serve at the checkpoint's embedded training resolution
+        # (falling back to 640); an EXPLICIT value always wins — including
+        # an explicit 640 over a small-scale checkpoint (the old ==640
+        # sentinel silently overrode it)
+        self.image_size = image_size if image_size is not None else 640
         self.half_precision = half_precision
         self.conf_thresh = conf_thresh
         self.max_det = max_det
@@ -192,9 +196,9 @@ class YoloModel:
             self.model, self.variables, meta = load_checkpoint(weight_path)
             self.task = meta.get("task", task)
             # checkpoint-embedded serving resolution wins over the ctor
-            # default (single-scale fixtures must serve at their trained
-            # size); an explicit non-default ctor value still overrides
-            if image_size == 640 and meta.get("image_size"):
+            # DEFAULT (single-scale fixtures must serve at their trained
+            # size); any explicit ctor value — 640 included — overrides
+            if image_size is None and meta.get("image_size"):
                 self.image_size = int(meta["image_size"])
             # `or`, not .get(default): a .pt without embedded names stores
             # names as [] — falling through to str(cls_id) names would make
@@ -216,7 +220,10 @@ class YoloModel:
             self.class_names = list(class_names or DEFAULT_CLASS_NAMES)
             self.task = task
             self.model, self.variables = create_model(
-                len(self.class_names), size=size, task=task, image_size=image_size
+                len(self.class_names),
+                size=size,
+                task=task,
+                image_size=self.image_size,
             )
 
         model = self.model

@@ -25,23 +25,53 @@ from ..core import shm
 from ..core.base import device_fn
 
 # CUAUV_CROSSCAM_MERGE=1: append a cross-camera consensus list to the same
-# dispatch — the per-camera detections are stacked, class-aware NMS'd in
-# the shared model frame (co-registered rigs like the zed stereo pair;
-# other rigs apply extrinsics upstream), and the merged [max_det, 6] list
-# rides the packed fetch. On a multi-chip mesh the same merge is the
+# dispatch — each camera's detections are un-letterboxed to its native
+# normalized frame, stacked, class-aware NMS'd (co-registered rigs like
+# the zed stereo pair; other rigs apply extrinsics upstream), and the
+# merged [max_det, 6] list (normalized coords) rides the packed fetch. On a multi-chip mesh the same merge is the
 # all_gather stage (parallel/crosscam.make_cross_camera_merge, asserted by
 # __graft_entry__.dryrun_multichip).
 CROSSCAM_MERGE = os.environ.get("CUAUV_CROSSCAM_MERGE", "") == "1"
 
 
-def _merged_dets(decoded):
+def _merged_dets(decoded, cam_hw, image_size):
+    """Per-camera decode output -> one consensus list.
+
+    Boxes arrive in each camera's LETTERBOXED model frame; cameras with
+    different native resolutions letterbox with different scale/pad, so
+    the same physical object lands at different model-frame coords and
+    cross-view suppression would misfire (round-4 advisor finding). Each
+    camera's boxes are therefore un-letterboxed (scale/pad are trace-time
+    constants from the static shapes) and normalized to its native
+    [0,1]x[0,1] frame — for co-registered same-FOV rigs the normalized
+    frames coincide regardless of resolution, and IoU is invariant under
+    the normalization. Rigs that are NOT co-registered still apply
+    extrinsics upstream. Merged rows are (x1, y1, x2, y2, conf, cls) in
+    NORMALIZED coordinates."""
     import jax.numpy as jnp
 
+    from ..models.yolo.model import letterbox_params
     from ..parallel.crosscam import cross_camera_nms
 
+    xy = decoded["xyxy"]  # [n_cam, K, 4] model-frame pixels
+    rows = []
+    for i, (h, w) in enumerate(cam_hw):
+        scale, left, top, _, _ = letterbox_params(h, w, image_size)
+        b = xy[i]
+        rows.append(
+            jnp.stack(
+                [
+                    (b[:, 0] - left) / (scale * w),
+                    (b[:, 1] - top) / (scale * h),
+                    (b[:, 2] - left) / (scale * w),
+                    (b[:, 3] - top) / (scale * h),
+                ],
+                axis=-1,
+            )
+        )
     dets = jnp.concatenate(
         [
-            decoded["xyxy"],
+            jnp.stack(rows),
             decoded["score"][..., None],
             decoded["cls"].astype(jnp.float32)[..., None],
         ],
@@ -64,7 +94,9 @@ class YoloMulticam(Yolo):
         self._cam_hw = (fwd.shape[:2], flir.shape[:2])  # static at trace
         decoded = dict(self.model.device_decode_multi((fwd, flir)))
         if CROSSCAM_MERGE:
-            decoded["crosscam_merged"] = _merged_dets(decoded)
+            decoded["crosscam_merged"] = _merged_dets(
+                decoded, self._cam_hw, self.model.image_size
+            )
         posts = (
             {"image_forward": fwd, "image_downward": flir}
             if want_posts
@@ -140,7 +172,9 @@ def multicam_class(source_specs):
             self._cam_hw = tuple(f.shape[:2] for f in frames)
             decoded = dict(self.model.device_decode_multi(frames))
             if CROSSCAM_MERGE:
-                decoded["crosscam_merged"] = _merged_dets(decoded)
+                decoded["crosscam_merged"] = _merged_dets(
+                    decoded, self._cam_hw, self.model.image_size
+                )
             posts = (
                 dict(zip(self.POST_NAMES, frames)) if want_posts else {}
             )

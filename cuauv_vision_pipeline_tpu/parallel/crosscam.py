@@ -64,7 +64,7 @@ def make_cross_camera_merge(
     merged lists (identical content on every device). The all_gather is the
     only collective; everything after runs replicated per device, which is
     cheaper than electing a merger device and broadcasting back."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def stage(local):
         gathered = jax.lax.all_gather(local[0], axis)  # [n_cam, K, 6]
@@ -73,12 +73,15 @@ def make_cross_camera_merge(
         )
         return merged[None]
 
-    # check_rep=False: after the all_gather every device computes on
-    # IDENTICAL data, but the NMS fori_loop seeds its picked/valid carries
-    # from unvarying constants — shard_map's varying-axis checker can't
-    # see that the loop output is replicated-by-construction and rejects
-    # the carry. The merge's replication is asserted by tests and the
-    # multichip dryrun instead.
+    # check_vma=False (jax.shard_map's rename of check_rep): after the
+    # all_gather every device computes on IDENTICAL data, but the NMS
+    # fori_loop seeds its picked/valid carries from unvarying constants —
+    # the varying-axis checker can't see that the loop output is
+    # replicated-by-construction and rejects the carry. The merge's
+    # replication is asserted by tests/test_parallel.py
+    # (test_cross_camera_merge_collective_on_mesh: out[cam] == out[0] for
+    # every device) and the multichip dryrun instead — keep both pinned
+    # when jax upgrades.
     return shard_map(
-        stage, mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_rep=False
+        stage, mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_vma=False
     )

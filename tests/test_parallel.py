@@ -173,3 +173,70 @@ def test_cross_camera_merge_collective_on_mesh():
     assert len(kept) == n + 1
     # cam0 could not have produced the other cameras' unique boxes alone
     assert kept[:, 0].max() >= 40 * (n - 1)
+
+
+def test_multicam_merge_unletterboxes_mixed_resolutions():
+    """The single-chip consensus twin must suppress the SAME physical
+    object seen by cameras of DIFFERENT native resolutions: boxes arrive
+    in each camera's letterboxed model frame (different scale/pad), so a
+    raw-coordinate merge would keep both copies (round-4 advisor
+    finding). _merged_dets un-letterboxes into normalized [0,1] frames
+    first."""
+    from cuauv_vision_pipeline_tpu.models.yolo.model import letterbox_params
+    from cuauv_vision_pipeline_tpu.modules.yolo_multicam import _merged_dets
+
+    S = 640
+    cam_hw = ((720, 1280), (600, 800))  # zed 720p + flir 600p
+    # one shared object at the same NORMALIZED position in both views,
+    # plus one unique object in camera 1
+    # near the top of frame, where the two letterbox pads diverge most
+    # (16:9 pads y by 140/640, 4:3 by 80/640 at S=640)
+    shared_n = (0.05, 0.05, 0.20, 0.20)  # x1, y1, x2, y2 normalized
+    unique_n = (0.70, 0.60, 0.80, 0.75)
+
+    def to_model(box_n, hw):
+        h, w = hw
+        scale, left, top, _, _ = letterbox_params(h, w, S)
+        x1, y1, x2, y2 = box_n
+        return (
+            x1 * w * scale + left,
+            y1 * h * scale + top,
+            x2 * w * scale + left,
+            y2 * h * scale + top,
+        )
+
+    K = 4
+    xyxy = np.zeros((2, K, 4), np.float32)
+    score = np.zeros((2, K), np.float32)
+    cls = np.zeros((2, K), np.int32)
+    xyxy[0, 0] = to_model(shared_n, cam_hw[0])
+    score[0, 0] = 0.6
+    xyxy[1, 0] = to_model(shared_n, cam_hw[1])
+    score[1, 0] = 0.9
+    xyxy[1, 1] = to_model(unique_n, cam_hw[1])
+    score[1, 1] = 0.8
+    cls[1, 1] = 1
+
+    # sanity: the two model-frame copies of the shared object do NOT
+    # overlap enough to merge raw (different letterbox scale/pad)
+    a, b = xyxy[0, 0], xyxy[1, 0]
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    area = lambda r: (r[2] - r[0]) * (r[3] - r[1])
+    iou_raw = inter / (area(a) + area(b) - inter)
+    assert iou_raw < 0.55, "fixture must exercise the scale/pad divergence"
+
+    decoded = {
+        "xyxy": jnp.asarray(xyxy),
+        "score": jnp.asarray(score),
+        "cls": jnp.asarray(cls),
+    }
+    merged = np.asarray(_merged_dets(decoded, cam_hw, S))
+    kept = merged[merged[:, 4] > 0]
+    assert len(kept) == 2, f"expected shared+unique, got {kept}"
+    shared = kept[kept[:, 5] == 0]
+    assert len(shared) == 1
+    # highest-confidence view survives, coords normalized
+    np.testing.assert_allclose(shared[0, 4], 0.9, atol=1e-6)
+    np.testing.assert_allclose(shared[0, :4], shared_n, atol=0.02)
