@@ -462,15 +462,19 @@ def _chained_windows(step, min_s: float, start_iters: int, max_windows: int = 5)
     ``step()`` enqueues ONE dispatch whose inputs depend on the previous
     dispatch's outputs (the caller's carry) and returns the value to
     block on. Iteration counts adapt: each attempt's count scales from
-    the previous attempt's rate until a window spans min_s; then more
-    windows run until two consecutive agree within 20% (or max_windows).
-    Returns (fps_list, iters, elapsed_of_last). block_until_ready at the
-    window end includes the full drain of every enqueued dispatch, so the
-    rate cannot measure enqueue overlap."""
+    the previous attempt's rate until a window spans min_s; QUALIFYING
+    (>= min_s) windows then repeat until two consecutive agree within
+    20%, or max_windows. Returns (qualifying_fps_list, iters,
+    elapsed_of_last) — the caller reports the MEDIAN of the qualifying
+    windows (the tunnel transport drifts 1.2-1.7x between windows;
+    BENCH_NOTES round-5 differential runs). block_until_ready at the
+    window end includes the full drain of every enqueued dispatch, so
+    the rate cannot measure enqueue overlap."""
     import jax
 
     iters = start_iters
-    fps_list: list = []
+    qualifying: list = []
+    fps = 0.0
     elapsed = 0.0
     for _ in range(max_windows):
         t0 = time.perf_counter()
@@ -479,17 +483,18 @@ def _chained_windows(step, min_s: float, start_iters: int, max_windows: int = 5)
             last = step()
         jax.block_until_ready(last)
         elapsed = time.perf_counter() - t0
-        fps_list.append(iters / elapsed)
+        fps = iters / elapsed
         if elapsed < min_s:  # too short to trust: scale up and retry
             iters = max(iters + 1, int(iters * (min_s * 1.2) / elapsed))
             continue
+        qualifying.append(fps)
         if (
-            len(fps_list) >= 2
-            and min(fps_list[-2:]) > 0
-            and max(fps_list[-2:]) / min(fps_list[-2:]) <= 1.2
+            len(qualifying) >= 2
+            and min(qualifying[-2:]) > 0
+            and max(qualifying[-2:]) / min(qualifying[-2:]) <= 1.2
         ):
             break
-    return fps_list, iters, elapsed
+    return qualifying or [fps], iters, elapsed
 
 
 def headline_device_chain() -> None:
@@ -551,7 +556,7 @@ def headline_device_chain() -> None:
     fps1_windows, iters1, win1_s = _chained_windows(
         step1, HEADLINE_WINDOW_S, 400
     )
-    per_dispatch_fps = fps1_windows[-1]
+    per_dispatch_fps = float(statistics.median(fps1_windows))
     TERMS["red_buoy_step_ms"] = 1000.0 / per_dispatch_fps
     log(
         f"device chain (per-frame dispatch): {per_dispatch_fps:.1f} fps "
@@ -592,13 +597,41 @@ def headline_device_chain() -> None:
     fpsb_windows, itersb, winb_s = _chained_windows(
         stepb, HEADLINE_WINDOW_S, 256
     )
-    batched_fps = fpsb_windows[-1] * BATCH
+    batched_fps = float(statistics.median(fpsb_windows)) * BATCH
     TERMS["red_buoy_batched_step_ms"] = 1000.0 / batched_fps
     log(
         f"device chain (batch={BATCH} dispatch): {batched_fps:.1f} fps "
         f"(windows {[round(f * BATCH, 1) for f in fpsb_windows]}, "
         f"last {winb_s:.2f}s)"
     )
+
+    # Bandwidth control (same process, same window discipline): one pure
+    # ~50 MB read per dispatch calibrates what chip+transport sustain
+    # RIGHT NOW. The chain numbers above are judged against THIS, not a
+    # datasheet: measured live, the control exceeded the "TPU v5 lite"
+    # datasheet 819 GB/s by 1.8x (the tunnel's device_kind string
+    # under-describes the chip), and identical chain graphs swing up to
+    # 4x between processes (BENCH_NOTES round 5) — so the artifact
+    # carries its own calibration instead of trusting either label.
+    @jax.jit
+    def _readsum(fr, prev):
+        return (fr.astype(jnp.int32) + prev).sum()
+
+    rc = jax.device_put(np.int32(0))
+    out_rc = _readsum(batched_frames, rc % 3)
+    jax.block_until_ready(out_rc)
+
+    def step_rc():
+        nonlocal rc
+        rc = _readsum(batched_frames, rc % 3)
+        return rc
+
+    rc_windows, _it_rc, _el_rc = _chained_windows(
+        step_rc, min(HEADLINE_WINDOW_S, 2.0), 2048, max_windows=3
+    )
+    ctrl_dps = float(statistics.median(rc_windows))
+    read_gbps = ctrl_dps * batched_frames.size / 1e9
+    log(f"read control: {read_gbps:.0f} GB/s sustained")
 
     # late verification handles: materialized by the 'v' step after every
     # device-timed step has run (first readback de-pipelines the client)
@@ -641,6 +674,12 @@ def headline_device_chain() -> None:
             "frame_us": round(1e6 / chain_fps, 2),
             "bandwidth_floor_us_per_frame": (
                 round(floor_us, 2) if floor_us else None
+            ),
+            # same-process pure-read calibration: judge the chain against
+            # the link's MEASURED bandwidth, not the datasheet
+            "read_control_gbps": round(read_gbps, 1),
+            "input_read_gbps_at_headline": round(
+                chain_fps * H * W * 3 / 1e9, 1
             ),
         }
     )
@@ -705,22 +744,10 @@ def prewarm_module_chains() -> None:
     from cuauv_vision_pipeline_tpu.modules.red_buoy import BuoyLAB
     from cuauv_vision_pipeline_tpu.modules.yolo import Yolo
 
+    # stage order mirrors the quick-config order (q1,q3,q4,q5,q2) so a
+    # mid-prewarm kill still helps the configs that run first.
     # config 1: red_buoy on the 1080p zed layout, performance mode
     stage("red_buoy", lambda: BuoyLAB.prewarm((1080, 1920, 3), log=log))
-    # config 5: yolo (default weight — seed-deterministic across
-    # processes) on the 720p zed plane
-    stage("yolo", lambda: Yolo.prewarm((720, 1280, 3), log=log))
-    # config 2: yolo serving the in-repo gate checkpoint (the chain closes
-    # the weights into the graph, so this is a distinct cache entry)
-    gate_w = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests",
-        "fixtures",
-        "gate_pico_detect.msgpack",
-    )
-    stage(
-        "yolo_gate", lambda: Yolo.prewarm((720, 1280, 3), weight=gate_w, log=log)
-    )
 
     # config 3: bins chain WITH the in-chain SIFT pose graphs (the spawn
     # sets CUAUV_BINS_POSE_TEMPLATE=builtin)
@@ -738,6 +765,20 @@ def prewarm_module_chains() -> None:
     stage("bins", bins_warm)
     # config 4: the default-flag balance pipeline (color_balance module)
     stage("balance", lambda: ColorBalance.prewarm((720, 1280, 3), log=log))
+    # config 5: yolo (default weight — seed-deterministic across
+    # processes) on the 720p zed plane
+    stage("yolo", lambda: Yolo.prewarm((720, 1280, 3), log=log))
+    # config 2: yolo serving the in-repo gate checkpoint (the chain closes
+    # the weights into the graph, so this is a distinct cache entry)
+    gate_w = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "fixtures",
+        "gate_pico_detect.msgpack",
+    )
+    stage(
+        "yolo_gate", lambda: Yolo.prewarm((720, 1280, 3), weight=gate_w, log=log)
+    )
 
     emit(
         "prewarm_compile_s",
@@ -2439,7 +2480,10 @@ def main() -> None:
         "y": ("yolo host path", yolo_host_path_bench, 620, None),
         "r": ("train step", train_step_bench, 500, None),
         "p": ("derived PCIe budgets", _derived_with_host_legs, 650, None),
-        "v": ("headline checksum verify", headline_verify, 120, None),
+        # v pays the process's FIRST device->host readback: an uncacheable
+        # per-process remote transfer compile, measured 150-545 s on this
+        # harness (BENCH_NOTES) — the cap must cover it
+        "v": ("headline checksum verify", headline_verify, 650, None),
     }
     for k, (name, fn, fallback) in configs_meta.items():
         # full-pass caps: the 'w' prewarm + quick pass warmed the compile
