@@ -714,72 +714,98 @@ def headline_verify() -> None:
 
 
 def prewarm_module_chains() -> None:
-    """Compile IN THIS PROCESS the exact chain executables the topology
-    configs' module subprocesses will run (engine/prewarm.py: same
-    build_packed_fn construction, same DevicePipeline options, same tuner
-    dtypes -> byte-identical HLO -> persistent-cache hits), so every
-    spawned module loads its chain from .jax_cache instead of compiling
-    cold. Round-3/4 verdicts: a cold chain compile through the remote
-    helper takes minutes per executable — q5 produced 0 detections in
-    640 s because its yolo subprocess was still compiling when the cap
-    fired. Stage failures are recorded, not fatal: a broken prewarm must
-    not cost the whole sweep."""
+    """Compile the exact chain executables the topology configs' module
+    subprocesses will run (engine/prewarm.py: same build_packed_fn
+    construction, same DevicePipeline options, same tuner dtypes ->
+    byte-identical HLO -> persistent-cache hits), so every spawned module
+    loads its chain from .jax_cache instead of compiling cold (round-3/4
+    verdicts: a cold chain compile takes minutes per executable — q5
+    produced 0 detections in 640 s because its yolo subprocess was still
+    compiling when the cap fired).
+
+    Each stage runs in its OWN subprocess (engine.prewarm CLI): a wedged
+    remote-compile RPC gets killed at the stage cap instead of blocking
+    the sweep (SIGALRM cannot interrupt a blocked compile C call —
+    observed live: a bins-stage compile RPC hung 40+ min in-process), and
+    this process's pipelined transport state never pays the stage's
+    first-readback penalty. Completed executables land in the shared
+    cache either way. Stage failures are recorded, not fatal."""
+    import json as _json
+
     t_start = time.perf_counter()
     timings: dict = {}
     failures: dict = {}
 
-    def stage(label, fn):
-        t0 = time.perf_counter()
-        try:
-            timings.update(fn() or {})
-        except Exception as e:
-            log(f"prewarm {label} FAILED: {type(e).__name__}: {e}")
-            failures[label] = (
-                f"{type(e).__name__}: {e} "
-                f"(after {time.perf_counter() - t0:.1f}s)"
-            )
-
-    from cuauv_vision_pipeline_tpu.modules.bins import BinDetector
-    from cuauv_vision_pipeline_tpu.modules.color_balance import ColorBalance
-    from cuauv_vision_pipeline_tpu.modules.red_buoy import BuoyLAB
-    from cuauv_vision_pipeline_tpu.modules.yolo import Yolo
-
-    # stage order mirrors the quick-config order (q1,q3,q4,q5,q2) so a
-    # mid-prewarm kill still helps the configs that run first.
-    # config 1: red_buoy on the 1080p zed layout, performance mode
-    stage("red_buoy", lambda: BuoyLAB.prewarm((1080, 1920, 3), log=log))
-
-    # config 3: bins chain WITH the in-chain SIFT pose graphs (the spawn
-    # sets CUAUV_BINS_POSE_TEMPLATE=builtin)
-    def bins_warm():
-        old = os.environ.get("CUAUV_BINS_POSE_TEMPLATE")
-        os.environ["CUAUV_BINS_POSE_TEMPLATE"] = "builtin"
-        try:
-            return BinDetector.prewarm((720, 1280, 3), log=log)
-        finally:
-            if old is None:
-                del os.environ["CUAUV_BINS_POSE_TEMPLATE"]
-            else:
-                os.environ["CUAUV_BINS_POSE_TEMPLATE"] = old
-
-    stage("bins", bins_warm)
-    # config 4: the default-flag balance pipeline (color_balance module)
-    stage("balance", lambda: ColorBalance.prewarm((720, 1280, 3), log=log))
-    # config 5: yolo (default weight — seed-deterministic across
-    # processes) on the 720p zed plane
-    stage("yolo", lambda: Yolo.prewarm((720, 1280, 3), log=log))
-    # config 2: yolo serving the in-repo gate checkpoint (the chain closes
-    # the weights into the graph, so this is a distinct cache entry)
     gate_w = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tests",
         "fixtures",
         "gate_pico_detect.msgpack",
     )
-    stage(
-        "yolo_gate", lambda: Yolo.prewarm((720, 1280, 3), weight=gate_w, log=log)
-    )
+    # stage order mirrors the quick-config order (q1,q3,q4,q5,q2) so a
+    # mid-prewarm budget cut still helps the configs that run first.
+    stages = [
+        ("red_buoy", ["red_buoy"], None, 420),
+        ("bins", ["bins"], {"CUAUV_BINS_POSE_TEMPLATE": "builtin"}, 600),
+        ("balance", ["balance"], None, 240),
+        ("yolo", ["yolo"], None, 480),
+        ("yolo_gate", ["yolo", "--weight", gate_w], None, 480),
+    ]
+    current = None
+    try:
+        for label, argv, env, cap in stages:
+            t0 = time.perf_counter()
+            current = spawn(
+                ["cuauv_vision_pipeline_tpu.engine.prewarm"] + argv,
+                f"warm_{label}",
+                env=env,
+            )
+            try:
+                rc = current.wait(timeout=cap)
+                current = None
+            except subprocess.TimeoutExpired:
+                current.kill()
+                current.wait()
+                current = None
+                failures[label] = (
+                    f"stage killed at its {cap}s cap (wedged compile RPC "
+                    "or an oversized graph); completed executables up to "
+                    "the kill are cached"
+                )
+                log(f"prewarm {label}: killed at {cap}s cap")
+                continue
+            tail = ""
+            try:
+                with open(f"/tmp/bench_warm_{label}.log") as f:
+                    tail = f.read()[-4000:]
+            except OSError:
+                pass
+            if rc != 0:
+                failures[label] = (
+                    f"rc={rc} after {time.perf_counter() - t0:.0f}s: "
+                    + tail.strip().splitlines()[-1][-200:]
+                    if tail.strip()
+                    else f"rc={rc}"
+                )
+                log(f"prewarm {label}: FAILED rc={rc}")
+                continue
+            for line in tail.splitlines():
+                if line.startswith("PREWARM_RESULT "):
+                    timings.update(_json.loads(line[len("PREWARM_RESULT "):]))
+            log(f"prewarm {label}: done in {time.perf_counter() - t0:.0f}s")
+    except StepTimeout:
+        # the whole-step cap fired between stage waits: kill the live
+        # child, record the partial result, let the deadline unwind
+        if current is not None and current.poll() is None:
+            current.kill()
+            current.wait()
+        failures["<step>"] = "step cap fired mid-prewarm"
+        _emit_prewarm_line(t_start, timings, failures)
+        raise
+    _emit_prewarm_line(t_start, timings, failures)
 
+
+def _emit_prewarm_line(t_start, timings, failures) -> None:
     emit(
         "prewarm_compile_s",
         round(time.perf_counter() - t_start, 1),
@@ -787,11 +813,11 @@ def prewarm_module_chains() -> None:
         per_executable={k: round(v, 1) for k, v in timings.items()},
         failures=failures or None,
         note=(
-            "in-process AOT compile of every topology config's exact "
-            "module-chain executables (engine/prewarm.py); spawned module "
-            "processes load these from the shared persistent cache, so "
-            "config warm-up is backend-init + trace + cache-load instead "
-            "of a cold XLA compile per executable"
+            "per-stage subprocess AOT compile of every topology config's "
+            "exact module-chain executables (engine/prewarm.py CLI); "
+            "spawned module processes load these from the shared "
+            "persistent cache, so config warm-up is backend-init + trace "
+            "+ cache-load instead of a cold XLA compile per executable"
         ),
     )
 
@@ -2472,7 +2498,7 @@ def main() -> None:
         # raises AFTER a blocked compile C-call returns, so a too-tight
         # cap kills the step right before its seconds-long measurement.
         "h": ("headline: device chain", headline_device_chain, 1200, None),
-        "w": ("prewarm module chains", prewarm_module_chains, 700, None),
+        "w": ("prewarm module chains", prewarm_module_chains, 1100, None),
         "s": ("stereo fan-in chain", stereo_fanin_bench, 500, None),
         "d": ("device chain steps", device_step_bench, 900, None),
         "t": ("H2D transfer", transfer_bench, 300, None),

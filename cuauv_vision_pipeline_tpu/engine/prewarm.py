@@ -137,3 +137,69 @@ def prewarm_chain(
         timings[label] = dt
         say(f"prewarm {label}: {dt:.1f}s")
     return timings
+
+
+def main(argv=None) -> int:
+    """CLI: AOT-compile one production chain set into the shared cache.
+
+    Deployment tooling runs one short-lived process per stage (``python
+    -m cuauv_vision_pipeline_tpu.engine.prewarm red_buoy``): a wedged
+    remote-compile RPC can then be killed from outside (a blocked compile
+    C call cannot be interrupted by in-process signals — observed live:
+    one hung 40+ min), and the caller's own backend state never pays the
+    per-process first-readback penalty. Completed executables land in the
+    persistent cache either way. The ``bins`` stage honors
+    ``CUAUV_BINS_POSE_TEMPLATE`` from the environment like the module.
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="AOT-compile module chain executables into the "
+        "shared persistent compile cache (see engine/prewarm.py)"
+    )
+    ap.add_argument(
+        "stage", choices=("red_buoy", "bins", "balance", "yolo")
+    )
+    ap.add_argument(
+        "--shape", default=None, help="HxWxC frame shape override"
+    )
+    ap.add_argument(
+        "--weight",
+        default=None,
+        help="yolo: checkpoint path (default: the module's own resolution)",
+    )
+    args = ap.parse_args(argv)
+    shape = (
+        tuple(int(x) for x in args.shape.split("x")) if args.shape else None
+    )
+
+    def say(m: str) -> None:
+        print(f"[prewarm] {m}", flush=True)
+
+    if args.stage == "red_buoy":
+        from ..modules.red_buoy import BuoyLAB
+
+        t = BuoyLAB.prewarm(shape or (1080, 1920, 3), log=say)
+    elif args.stage == "bins":
+        from ..modules.bins import BinDetector
+
+        t = BinDetector.prewarm(shape or (720, 1280, 3), log=say)
+    elif args.stage == "balance":
+        from ..modules.color_balance import ColorBalance
+
+        t = ColorBalance.prewarm(shape or (720, 1280, 3), log=say)
+    else:
+        from ..modules.yolo import Yolo
+
+        t = Yolo.prewarm(shape or (720, 1280, 3), weight=args.weight, log=say)
+    print(
+        "PREWARM_RESULT "
+        + json.dumps({k: round(v, 1) for k, v in t.items()}),
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
