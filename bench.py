@@ -2340,17 +2340,14 @@ def _emit_degraded(fallback, name: str, err: Exception) -> None:
         ),
         None,
     )
+    # fallback lines go to STDOUT ONLY — writing them through emit()
+    # would clobber the last committed GOOD value in BENCH_RESULTS.json
+    # (and stale/degraded rows are excluded from future fallbacks by
+    # design, so the provenance chain would end). The file keeps the best
+    # known measurement; the tail carries this run's explanation.
     if committed is not None:
-        extra = {
-            k: v
-            for k, v in committed.items()
-            if k not in ("metric", "value", "unit")
-        }
-        emit(
-            metric,
-            committed["value"],
-            unit,
-            **extra,
+        line = dict(committed)
+        line.update(
             stale=True,
             stale_note=(
                 f"{name} did not complete this run; value re-emitted "
@@ -2359,19 +2356,25 @@ def _emit_degraded(fallback, name: str, err: Exception) -> None:
             ),
             this_run=evidence,
         )
+        if QUICK:
+            line["pass"] = "quick"
+        print(json.dumps(line), flush=True)
         return
-    emit(
-        metric,
-        0.0,
-        unit,
+    line = dict(
+        metric=metric,
+        value=0.0,
+        unit=unit,
         degraded=True,
-        **evidence,
         note=(
             f"{name} did not complete a measurement window and no "
             "committed value exists; progress records the last observed "
             "warm-up/measure state before the cap fired"
         ),
+        **evidence,
     )
+    if QUICK:
+        line["pass"] = "quick"
+    print(json.dumps(line), flush=True)
 
 
 def _last_committed_sweep(mark_stale: bool = True) -> list:
