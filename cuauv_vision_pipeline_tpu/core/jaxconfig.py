@@ -12,6 +12,25 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU ISA feature set."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(
+        (platform.machine() + ":" + flags).encode()
+    ).hexdigest()[:12]
+
+
 def _default_cache_dir() -> str:
     override = os.environ.get("CUAUV_JAX_CACHE")
     if override:
@@ -21,8 +40,19 @@ def _default_cache_dir() -> str:
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_root = os.path.dirname(pkg_dir)
     if os.path.isdir(os.path.join(repo_root, ".git")):
-        return os.path.join(repo_root, ".jax_cache")
-    return os.path.expanduser("~/.cache/cuauv-vision-pipeline-tpu/jax")
+        base = os.path.join(repo_root, ".jax_cache")
+    else:
+        base = os.path.expanduser("~/.cache/cuauv-vision-pipeline-tpu/jax")
+    # CPU-platform processes get a PER-MACHINE partition: XLA:CPU AOT
+    # entries bake the COMPILE machine's vector ISA into the executable
+    # while the cache key ignores host features, so a workspace cache
+    # carried to a different host loads mismatched AOT code ("could lead
+    # to SIGILL" per cpu_aot_loader — observed live as a module executor
+    # hanging mid-soak). TPU entries are host-ISA-independent (device
+    # code) and stay shared in the base dir.
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        return os.path.join(base, "cpu-" + _host_fingerprint())
+    return base
 
 
 _configured = False
