@@ -1026,9 +1026,9 @@ def device_step_bench() -> None:
     # at batch 8 — the 640^2 convs already fill the MXU at batch 1); the
     # e2e win is round-trip amortization, measured by config 5b.
     BATCH = 8
-    stack = jax.device_put(
-        np.stack([np.asarray(f) for f in cb_frames] * 2)
-    )
+    stack = jax.device_put(  # re-render on host: np.asarray of a DEVICE
+        np.stack([buoy_frame((H, W), t / 5.0) for t in range(4)] * 2)
+    )  # array here was this process's first readback -> de-pipelined it
     jax.block_until_ready(stack)
     batched = jax.jit(lambda ims: model.device_decode_batch(ims))
     out = batched(stack)
