@@ -69,7 +69,7 @@ SETTLE_S = float(os.environ.get("BENCH_SETTLE_S", "45"))
 # round; the r04 kill landed ~1,900-2,300 s in) — the self-imposed budget
 # must finish first so the run exits 0 with every skipped step emitting
 # its stale fallback line instead of being cut mid-measure
-BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "1900"))
+BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", "1700"))
 CONFIG_CAP_S = float(os.environ.get("BENCH_CONFIG_CAP_S", "700"))
 # sweep order (round-4 verdict): headline FIRST; then the 'w' prewarm
 # AOT-compiles every config's exact module-chain executables in-process
