@@ -26,26 +26,15 @@ step has a hard wall-clock cap (SIGALRM) inside the whole-run
 BENCH_TIME_BUDGET_S, which is set below the observed driver kill window
 so the sweep exits 0.
 
-Harness context: the chip here is tunnel-attached (H2D of a 6 MB frame and
-every blocking readback pay a ~100-300 ms RTT), so end-to-end topology
-numbers measure the tunnel, not the chain. Each device config therefore
-also gets a COMPUTED `derived_pcie_p50_ms` line assembled from this run's
-own measured terms (bus p50, device step, host leg) plus a documented
-PCIe-class link model for the two legs the tunnel hides (H2D, fetch).
-
-Device-timing discipline: every timed device loop (headline, stereo,
-per-chain steps) runs BEFORE any device->host readback in this process —
-the first readback permanently de-pipelines the tunnel client and would
-turn 0.04 ms dispatches into 1 ms (BENCH_NOTES.md). block_until_ready is
-safe; np.asarray is not.
-
-Env knobs: BENCH_MEASURE_S (per-config window, default 12),
-BENCH_CONFIGS (comma list, default "h,s,d,t,b,y,p,1,5,2,3,4"),
-BENCH_WARM_S (first-result deadline inside a config, default 1500),
-BENCH_TIME_BUDGET_S (whole-run budget, default 3000),
-BENCH_CONFIG_CAP_S (hard per-config wall-clock cap, default 700 —
-above the observed 150-545 s worst case of the uncacheable per-process
-first-readback compile, so a slow-but-alive config is not killed mid-warm).
+Harness context: the chip is tunnel-attached (every H2D/readback pays a
+~100-300 ms RTT), so e2e topology numbers measure the tunnel, not the
+chain; each device config also gets a COMPUTED `derived_pcie_p50_ms`
+line from this run's own measured terms + a documented PCIe link model.
+Device-timing discipline: every timed device loop runs BEFORE any
+device->host readback in this process (the first readback de-pipelines
+the tunnel client; block_until_ready is safe, np.asarray is not).
+Env knobs: BENCH_MEASURE_S, BENCH_CONFIGS, BENCH_WARM_S, BENCH_TIME_
+BUDGET_S, BENCH_CONFIG_CAP_S, BENCH_QUICK_CAP_S (constants below).
 """
 
 from __future__ import annotations
@@ -137,8 +126,19 @@ def emit(metric: str, value, unit: str, **extra) -> None:
                 existing = json.load(f)
         except (OSError, ValueError):
             existing = []
-        fresh = {r["metric"] for r in RESULTS}
-        merged = [r for r in existing if r.get("metric") not in fresh] + RESULTS
+        # rank passes ACROSS runs: a quick line never displaces a
+        # FULL-pass row already in the file (it still prints + lives in
+        # RESULTS); the full pass always overwrites
+        full_rows = {r["metric"] for r in existing if "pass" not in r}
+        writable = [
+            r
+            for r in RESULTS
+            if not (r.get("pass") == "quick" and r["metric"] in full_rows)
+        ]
+        fresh = {r["metric"] for r in writable}
+        merged = [
+            r for r in existing if r.get("metric") not in fresh
+        ] + writable
         with open(path, "w") as f:
             json.dump(merged, f, indent=1)
     except OSError:

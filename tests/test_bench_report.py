@@ -54,3 +54,45 @@ def test_main_reads_file_and_errors_cleanly(tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text('{"metric": "x"}')
     assert main([str(bad)]) == 1
+
+
+def test_emit_merge_quick_never_displaces_full_pass(tmp_path, monkeypatch):
+    """Across runs, a quick-pass line must not replace a full-pass row in
+    BENCH_RESULTS.json (observed live: a later sweep's quick lines
+    displaced the committed full-pass topology measurements); the full
+    pass always overwrites, and quick lines still reach stdout/RESULTS."""
+    import importlib
+    import os
+    import sys
+
+    sys.modules.pop("bench", None)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))) )
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    path = tmp_path / "BENCH_RESULTS.json"
+    path.write_text(json.dumps(
+        [{"metric": "m1", "value": 50.0, "unit": "fps"}]  # full-pass row
+    ))
+    bench.RESULTS.clear()
+    bench.QUICK = True
+    try:
+        bench.emit("m1", 2.0, "fps")   # quick must NOT displace
+        bench.emit("m2", 7.0, "fps")   # quick with no full row: writes
+    finally:
+        bench.QUICK = False
+    rows = {r["metric"]: r for r in json.loads(path.read_text())}
+    assert rows["m1"]["value"] == 50.0 and "pass" not in rows["m1"]
+    assert rows["m2"]["value"] == 7.0 and rows["m2"]["pass"] == "quick"
+    # RESULTS (the in-run store feeding the stdout tail) keeps the quick
+    # measurement for tail freshness
+    assert {r["metric"]: r["value"] for r in bench.RESULTS}["m1"] == 2.0
+
+    bench.RESULTS.clear()
+    bench.emit("m1", 60.0, "fps")      # full pass overwrites
+    rows = {r["metric"]: r for r in json.loads(path.read_text())}
+    assert rows["m1"]["value"] == 60.0
+    bench.RESULTS.clear()
