@@ -769,10 +769,9 @@ def prewarm_module_chains() -> None:
     Each stage runs in its OWN subprocess (engine.prewarm CLI): a wedged
     remote-compile RPC gets killed at the stage cap instead of blocking
     the sweep (SIGALRM cannot interrupt a blocked compile C call —
-    observed live: a bins-stage compile RPC hung 40+ min in-process), and
-    this process's pipelined transport state never pays the stage's
-    first-readback penalty. Completed executables land in the shared
-    cache either way. Stage failures are recorded, not fatal."""
+    observed live: one hung 40+ min in-process), and this process's
+    pipelined transport never pays the stage's first-readback penalty.
+    Completed executables are cached either way; failures recorded."""
     import json as _json
 
     t_start = time.perf_counter()
@@ -785,14 +784,15 @@ def prewarm_module_chains() -> None:
         "fixtures",
         "gate_pico_detect.msgpack",
     )
-    # stage order mirrors the quick-config order (q1,q3,q4,q5,q2) so a
-    # mid-prewarm budget cut still helps the configs that run first.
+    # stage order mirrors the quick-config order (q1,q3,q4,q5,q2); the
+    # config-5b batch=8 lane variants warm LAST (cheapest to sacrifice).
     stages = [
         ("red_buoy", ["red_buoy"], None, 420),
         ("bins", ["bins"], {"CUAUV_BINS_POSE_TEMPLATE": "builtin"}, 600),
         ("balance", ["balance"], None, 240),
         ("yolo", ["yolo"], None, 480),
         ("yolo_gate", ["yolo", "--weight", gate_w], None, 480),
+        ("yolo_b8", ["yolo"], {"CUAUV_YOLO_BATCH": "8"}, 600),
     ]
     current = None
     try:
